@@ -1,0 +1,76 @@
+"""Command-line driver: ``python -m tomofastx_tpu -p <Parfile>``.
+
+Counterpart of program_tomofastx (program_tomofastx.F90:25-103), minus MPI
+boilerplate: under JAX SPMD there is no rank/size plumbing, and the unit
+tests live in ``tests/`` under pytest rather than inside the binary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tomofastx",
+        description="TPU-native Tomofast-x: 3-D gravity + magnetics joint inversion",
+    )
+    parser.add_argument("-p", "--parfile", required=True, help="path to the Parfile")
+    parser.add_argument(
+        "--base-dir", default=".", help="directory that relative Parfile paths resolve against"
+    )
+    parser.add_argument(
+        "--precision",
+        choices=("double", "single"),
+        default=None,
+        help="solver precision (default: double on CPU, single on TPU)",
+    )
+    parser.add_argument("--platform", default=None, help="force a JAX platform (cpu/tpu)")
+    parser.add_argument("-q", "--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    backend_is_tpu = None
+    try:
+        backend_is_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        backend_is_tpu = False
+
+    precision = args.precision or ("single" if backend_is_tpu else "double")
+    if precision == "double":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    cfg = read_parfile(args.parfile)
+
+    # Copy the Parfile into the output folder for provenance
+    # (parameters_init.f90:144-148).
+    out_dir = os.path.join(args.base_dir, cfg.path_output)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        shutil.copy(args.parfile, os.path.join(out_dir, "Parfile_run.txt"))
+    except shutil.SameFileError:
+        pass
+
+    dtype = jnp.float64 if precision == "double" else jnp.float32
+    solve_problem_joint_gravmag(
+        cfg, base_dir=args.base_dir, solve_dtype=dtype, compute_dtype=dtype,
+        verbose=not args.quiet,
+    )
+    print("THE END.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,388 @@
+"""Joint inversion system: operator stack + per-major-iteration solve.
+
+TPU-native counterpart of t_joint_inversion (joint_inverse_problem.F90).
+Instead of assembling CSR constraint rows each major iteration, the whole
+per-iteration solve — ADMM dual updates, constraint linearization, LSQR with
+dense MXU matvecs, wavelet conversions, and the final un-weighting of the
+model update — is ONE jitted function, traced once per configuration and
+reused across major iterations and prior models.
+
+Row-block order of the stacked system (norms are order-independent; this
+fixes the layout): [data blocks per active problem] then per active problem
+[damping (ncomp*N rows), damping-gradient (3*ncomp*N rows)], then ADMM
+blocks (N rows each), then cross-gradient (3N), then clustering (N per
+problem).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tomofastx_tpu.inversion import operators as ops
+from tomofastx_tpu.ops import wavelet as W
+from tomofastx_tpu.ops.lsqr import lsqr_solve
+
+
+@dataclass(frozen=True)
+class SystemSpec:
+    """Static description of the joint system (hashable; closed over by jit)."""
+
+    active: Tuple[int, ...]  # active problem indices (subset of (0, 1))
+    ncomp: int
+    nx: int
+    ny: int
+    nz: int
+    ndata_rows: Tuple[int, ...]  # ndata * ndata_components per active problem
+    compression_type: int
+    wavelet_domain: bool
+    problem_weight: Tuple[float, float]
+    alpha: Tuple[float, float]
+    norm_power: float
+    add_damping: Tuple[bool, bool]
+    beta: Tuple[float, float]
+    add_damping_gradient: Tuple[bool, bool]
+    admm_enabled: Tuple[bool, bool]
+    nlithos: int
+    cross_grad: bool
+    cross_grad_weight: float
+    der_type: int
+    keep_model_constant: Tuple[int, int]
+    vec_field_type: int
+    clustering: bool
+    clustering_weight_glob: Tuple[float, float]
+    clustering_opt_type: int
+    apply_local_damping_weight: bool
+    niter: int
+    rmin: float
+    gamma: float
+    target_misfit: float
+
+    @property
+    def N(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def seg_size(self) -> int:
+        return self.ncomp * self.N
+
+    @property
+    def admm_comp(self) -> int:
+        # Bounds act on Mz for magnetization-vector models
+        # (joint_inverse_problem.F90:499-506).
+        return 2 if self.ncomp == 3 else 0
+
+
+def decide_wavelet_domain(ipar) -> bool:
+    """Solve for the update in wavelet coordinates only when no constraint
+    needs model-space rows (reference: joint_inverse_problem.F90:189-200).
+    Takes an InversionParams."""
+    if ipar.cross_grad_weight != 0.0:
+        return False
+    if ipar.clustering_weight_glob[0] != 0.0 or ipar.clustering_weight_glob[1] != 0.0:
+        return False
+    if any(b != 0.0 and pw != 0.0 for b, pw in zip(ipar.beta, ipar.problem_weight)):
+        return False
+    if ipar.norm_power != 2.0:
+        return False
+    if ipar.admm_bound_type != 1:
+        return False
+    if ipar.apply_local_damping_weight > 0:
+        return False
+    return True
+
+
+def admm_iterate(z, u, x, min_bound, max_bound):
+    """ADMM scaled-dual iteration (reference: admm_method.F90:70-134):
+    z = Pc(x + u) projecting onto the nearest of the disjoint intervals,
+    u += x - z; returns (z, u, x0 = z - u).
+
+    min_bound/max_bound: (L, N); candidate scan order (min_j, max_j, j=1..L)
+    with first-minimum tie-breaking matches the reference's strict-< scan."""
+    arg = x + u
+    inside = jnp.any((min_bound <= arg[None, :]) & (arg[None, :] <= max_bound), axis=0)
+    # Interleave candidates in reference scan order: min1, max1, min2, max2...
+    cand = jnp.stack([min_bound, max_bound], axis=1).reshape(-1, arg.shape[0])
+    dist = jnp.abs(cand - arg[None, :])
+    closest = cand[jnp.argmin(dist, axis=0), jnp.arange(arg.shape[0])]
+    z_new = jnp.where(inside, arg, closest)
+    u_new = u + x - z_new
+    return z_new, u_new, z_new - u_new
+
+
+def _to_solver(spec: SystemSpec, seg):
+    """Scaled-model flat segment (ncomp*N,) -> matrix column (wavelet) domain."""
+    if spec.compression_type == 0:
+        return seg
+    return W.forward_wavelet_flat(
+        seg.reshape(spec.ncomp, spec.N), spec.nx, spec.ny, spec.nz, spec.compression_type
+    ).reshape(-1)
+
+
+def _from_solver(spec: SystemSpec, seg):
+    if spec.compression_type == 0:
+        return seg
+    return W.inverse_wavelet_flat(
+        seg.reshape(spec.ncomp, spec.N), spec.nx, spec.ny, spec.nz, spec.compression_type
+    ).reshape(-1)
+
+
+def make_solver(spec: SystemSpec):
+    """Build the jitted per-major-iteration solve function.
+
+    Returns solve(arrays) -> dict with delta models, costs, new ADMM state,
+    LSQR stats, and output fields. `arrays` is a dict of device arrays; see
+    workflow.py for its construction."""
+
+    nseg = len(spec.active)
+    seg = spec.seg_size
+    offsets = [a * seg for a in range(nseg)]
+    ncols = nseg * seg
+    cube_shape = (spec.nz, spec.ny, spec.nx)
+    wconv = spec.compression_type > 0 and not spec.wavelet_domain
+
+    def solve_once(arr: Dict):
+        S = arr["S"]  # tuple per active problem (rows_i, seg)
+        cw = arr["cw"]  # tuple (N,)
+        dXdYdZ = (arr["dX"], arr["dY"], arr["dZ"])
+
+        costs = {}
+        extras = {}
+
+        # ---------------- ADMM dual update + x0 ----------------
+        new_z, new_u = [], []
+        admm_x0 = []
+        for a, i in enumerate(spec.active):
+            if spec.admm_enabled[i]:
+                x_comp = arr["model"][a][spec.admm_comp]
+                z, u, x0 = admm_iterate(
+                    arr["admm_z"][a], arr["admm_u"][a], x_comp,
+                    arr["min_bound"][a], arr["max_bound"][a],
+                )
+                new_z.append(z)
+                new_u.append(u)
+                admm_x0.append(x0)
+                # ADMM cost |x - z| / |z| (joint_inverse_problem.F90:522-525,
+                # costs.f90: cost(arr1=z, arr2=x)).
+                denom = jnp.sum(z**2)
+                costs[f"admm_cost_{i}"] = jnp.where(
+                    denom != 0.0, jnp.sqrt(jnp.sum((z - x_comp) ** 2) / jnp.where(denom != 0.0, denom, 1.0)), 0.0
+                )
+            else:
+                new_z.append(arr["admm_z"][a])
+                new_u.append(arr["admm_u"][a])
+                admm_x0.append(None)
+                costs[f"admm_cost_{i}"] = jnp.asarray(0.0)
+
+        # ---------------- constraint blocks ----------------
+        damping_ops = {}
+        dampgrad_ops = {}
+        admm_ops = {}
+        xgrad_op = None
+        clustering_ops = {}
+
+        for a, i in enumerate(spec.active):
+            if spec.add_damping[i]:
+                lw = arr["damping_weight"][a] if spec.apply_local_damping_weight else None
+                damping_ops[a] = ops.make_damping(
+                    spec.alpha[i], spec.problem_weight[i], spec.norm_power,
+                    arr["model"][a], arr["prior"][a], cw[a], lw,
+                    spec.wavelet_domain, spec.compression_type,
+                    spec.nx, spec.ny, spec.nz,
+                )
+                costs[f"damping_cost_{i}"] = damping_ops[a].cost
+
+            if spec.add_damping_gradient[i]:
+                per_dir = []
+                for k in range(spec.ncomp):
+                    for direction in (1, 2, 3):
+                        op = ops.make_damping_gradient(
+                            spec.beta[i], spec.problem_weight[i],
+                            arr["model"][a][k], cw[a],
+                            arr["damping_grad_weight"][a][direction - 1],
+                            *dXdYdZ, spec.nx, spec.ny, spec.nz, direction,
+                        )
+                        per_dir.append((k, direction, op))
+                dampgrad_ops[a] = per_dir
+                # Sum cost over components per direction
+                # (joint_inverse_problem.F90:483-486).
+                for direction in (1, 2, 3):
+                    costs[f"damping_gradient_cost_{'xyz'[direction-1]}_{i}"] = sum(
+                        op.cost for (k, d, op) in per_dir if d == direction
+                    )
+
+            if spec.admm_enabled[i]:
+                # ADMM quadratic term via the damping machinery with
+                # alpha = rho_ADMM, norm 2, local weight = bound_weight
+                # (joint_inverse_problem.F90:509-520). rho is traced (it is
+                # adjusted dynamically between major iterations).
+                rho = arr["rho_admm"][i]
+                cwk = cw[a]
+                diff = jnp.where(cwk != 0.0, (arr["model"][a][spec.admm_comp] - admm_x0[a]) / jnp.where(cwk != 0.0, cwk, 1.0), 0.0)
+                if spec.compression_type > 0 and spec.wavelet_domain:
+                    diff = W.forward_wavelet_flat(diff, spec.nx, spec.ny, spec.nz, spec.compression_type)
+                base = rho * spec.problem_weight[i]
+                bw = arr["bound_weight"][a]
+                admm_ops[a] = ops.DampingOp(
+                    dcoef=(base * bw)[None, :],
+                    rhs=(-base * diff * bw)[None, :],
+                    cost=jnp.asarray(0.0),
+                )
+
+        if spec.cross_grad:
+            a1, a2 = 0, 1  # requires both problems active
+            xgrad_op = ops.make_cross_gradient(
+                arr["model"][a1][0], arr["model"][a2][0], cw[a1], cw[a2],
+                spec.cross_grad_weight, spec.der_type, spec.keep_model_constant,
+                arr.get("vec_field"), spec.vec_field_type,
+                *dXdYdZ, spec.nx, spec.ny, spec.nz,
+            )
+            costs["cross_grad_cost"] = xgrad_op.cost
+            extras["cross_grad_magnitude"] = xgrad_op.magnitude
+
+        if spec.clustering:
+            for t in range(2):
+                op = ops.make_clustering(
+                    arr["model"][0][0], arr["model"][1][0],
+                    cw[0], cw[1],
+                    spec.clustering_weight_glob,
+                    arr["mixture_mu"], arr["mixture_sigma"],
+                    arr["cell_weight"], arr["mixture_max"],
+                    spec.clustering_opt_type, t,
+                )
+                clustering_ops[t] = op
+                costs[f"clustering_cost_{t}"] = op.cost
+            extras["clustering_probabilities"] = clustering_ops[0].probabilities
+
+        # ---------------- right-hand side ----------------
+        b_parts = []
+        for a, i in enumerate(spec.active):
+            b_parts.append(spec.problem_weight[i] * arr["residuals"][a].reshape(-1))
+        for a, i in enumerate(spec.active):
+            if a in damping_ops:
+                b_parts.append(damping_ops[a].rhs.reshape(-1))
+            if a in dampgrad_ops:
+                for (_, _, op) in dampgrad_ops[a]:
+                    b_parts.append(op.rhs)
+        for a, i in enumerate(spec.active):
+            if a in admm_ops:
+                b_parts.append(admm_ops[a].rhs.reshape(-1))
+        if xgrad_op is not None:
+            b_parts.append(xgrad_op.rhs.reshape(-1))
+        for t, op in clustering_ops.items():
+            b_parts.append(op.rhs)
+        b = jnp.concatenate(b_parts)
+
+        ndata_total = sum(spec.ndata_rows)
+
+        # ---------------- operator closures ----------------
+        def split_x(x):
+            return [x[off : off + seg].reshape(spec.ncomp, spec.N) for off in offsets]
+
+        def matvec(x):
+            segs = split_x(x)
+            parts = []
+            for a, i in enumerate(spec.active):
+                xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
+                parts.append(S[a] @ xw)
+            for a, i in enumerate(spec.active):
+                if a in damping_ops:
+                    parts.append(damping_ops[a].matvec(segs[a]))
+                if a in dampgrad_ops:
+                    for (k, d, op) in dampgrad_ops[a]:
+                        parts.append(op.matvec(segs[a][k].reshape(cube_shape)))
+            for a, i in enumerate(spec.active):
+                if a in admm_ops:
+                    parts.append(admm_ops[a].matvec(segs[a][spec.admm_comp : spec.admm_comp + 1]))
+            if xgrad_op is not None:
+                parts.append(
+                    xgrad_op.matvec(
+                        segs[0][0].reshape(cube_shape), segs[1][0].reshape(cube_shape)
+                    )
+                )
+            for t, op in clustering_ops.items():
+                parts.append(op.dcoef * segs[t][0])
+            return jnp.concatenate(parts)
+
+        def rmatvec(u):
+            out = [jnp.zeros((spec.ncomp, spec.N), u.dtype) for _ in spec.active]
+            pos = 0
+            for a, i in enumerate(spec.active):
+                rows = spec.ndata_rows[a]
+                g = S[a].T @ u[pos : pos + rows]
+                if wconv:
+                    g = _from_solver(spec, g)
+                out[a] = out[a] + g.reshape(spec.ncomp, spec.N)
+                pos += rows
+            for a, i in enumerate(spec.active):
+                if a in damping_ops:
+                    rows = spec.ncomp * spec.N
+                    out[a] = out[a] + damping_ops[a].rmatvec(u[pos : pos + rows])
+                    pos += rows
+                if a in dampgrad_ops:
+                    for (k, d, op) in dampgrad_ops[a]:
+                        rows = spec.N
+                        out[a] = out[a].at[k].add(op.rmatvec(u[pos : pos + rows]).reshape(-1))
+                        pos += rows
+            for a, i in enumerate(spec.active):
+                if a in admm_ops:
+                    rows = spec.N
+                    contrib = admm_ops[a].rmatvec(u[pos : pos + rows])
+                    out[a] = out[a].at[spec.admm_comp].add(contrib.reshape(-1))
+                    pos += rows
+            if xgrad_op is not None:
+                rows = 3 * spec.N
+                g1, g2 = xgrad_op.rmatvec(u[pos : pos + rows])
+                out[0] = out[0].at[0].add(g1.reshape(-1))
+                out[1] = out[1].at[0].add(g2.reshape(-1))
+                pos += rows
+            for t, op in clustering_ops.items():
+                rows = spec.N
+                out[t] = out[t].at[0].add(op.dcoef * u[pos : pos + rows])
+                pos += rows
+            return jnp.concatenate([o.reshape(-1) for o in out])
+
+        # Data misfit early-exit check (lsqr_solver2.F90:168-189).
+        b0_data = b[:ndata_total]
+
+        def misfit_fn(x):
+            segs = split_x(x)
+            parts = []
+            for a, i in enumerate(spec.active):
+                xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
+                parts.append(S[a] @ xw)
+            Sx = jnp.concatenate(parts)
+            return jnp.sqrt(jnp.sum((Sx - b0_data) ** 2) / ndata_total)
+
+        # ---------------- LSQR ----------------
+        res = lsqr_solve(
+            matvec, rmatvec, b, ncols,
+            niter=spec.niter, rmin=spec.rmin, gamma=spec.gamma,
+            target_misfit=spec.target_misfit,
+            misfit_fn=misfit_fn if spec.target_misfit > 0.0 else None,
+        )
+
+        # ---------------- convert update to model space ----------------
+        deltas = []
+        for a, i in enumerate(spec.active):
+            d = res.x[offsets[a] : offsets[a] + seg]
+            if spec.compression_type > 0 and spec.wavelet_domain:
+                d = _from_solver(spec, d)
+            d = d.reshape(spec.ncomp, spec.N) * cw[a][None, :]  # rescale_model
+            deltas.append(d)
+
+        return {
+            "delta": tuple(deltas),
+            "costs": costs,
+            "admm_z": tuple(new_z),
+            "admm_u": tuple(new_u),
+            "lsqr_iters": res.iters,
+            "lsqr_r": res.r,
+            "extras": extras,
+        }
+
+    return jax.jit(solve_once)

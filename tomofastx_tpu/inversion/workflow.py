@@ -1,0 +1,633 @@
+"""End-to-end joint gravity/magnetics inversion workflow.
+
+TPU-native counterpart of solve_problem_joint_gravmag
+(problem_joint_gravmag.F90:65-613): grid + data loading, depth weights,
+sensitivity build, synthetic data, prior-model loop, the major inversion
+loop with costs.txt logging, dynamic ADMM weight adjustment, stop-file early
+exit, and all model/data outputs.
+
+Host-side orchestration is plain Python (it does I/O); all numerics per
+major iteration run in one jitted solve (inversion/joint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tomofastx_tpu.config.parfile import Config, GRAV, MAGN
+from tomofastx_tpu.inversion.joint import SystemSpec, decide_wavelet_domain, make_solver
+from tomofastx_tpu.io import data_io, model_io, vtk
+from tomofastx_tpu.io.sensit_cache import try_read_kernel_cache, write_kernel_cache
+from tomofastx_tpu.models.data import SurveyData
+from tomofastx_tpu.models.model import ModelState
+from tomofastx_tpu.ops import sensitivity as sens
+
+PROBLEM_PREFIX = ("grav", "mag")  # output file name prefixes (reference usage)
+
+
+@dataclass
+class ProblemContext:
+    """Everything belonging to one of the two joint problems."""
+
+    index: int  # 0 = grav, 1 = magn
+    par: object  # GravParams | MagParams
+    model: ModelState = None
+    data: SurveyData = None
+    column_weight: np.ndarray = None
+    kernel: object = None  # weighted SensitKernel
+    residuals: np.ndarray = None
+
+
+@dataclass
+class WorkflowResult:
+    models: Dict[int, ModelState]
+    data: Dict[int, SurveyData]
+    cost_data: List[float]
+    cost_model: List[float]
+    costs_history: List[dict] = field(default_factory=list)
+
+
+def _mkoutdir(cfg: Config, base_dir: str) -> str:
+    out = os.path.join(base_dir, cfg.path_output)
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def _model_write(ctx: ProblemContext, cfg, out_dir, prefix, write_ascii=False):
+    """Model snapshot outputs (reference: model_write, model_IO.F90:481-612):
+    structured-grid VTK, x/y/z half-slice lego VTKs, optional ASCII."""
+    g = ctx.model.grid
+    pv = os.path.join(out_dir, "Paraview")
+    common = dict(
+        X1=g.X1, Y1=g.Y1, Z1=g.Z1, X2=g.X2, Y2=g.Y2, Z2=g.Z2,
+        nx=g.nx, ny=g.ny, nz=g.nz,
+        invert_z=True, units_mult=ctx.model.units_mult, label=ctx.model.vtk_label,
+    )
+    val = ctx.model.val.T  # (N, ncomp)
+    vtk.write_struct_grid(os.path.join(pv, f"{prefix}model3D_full.vtk"), val, **common)
+    vtk.write_lego_grid(
+        os.path.join(pv, f"{prefix}model3D_half_x.vtk"), val,
+        i1=g.nx // 2 + 1, i2=g.nx // 2 + 1, **common,
+    )
+    vtk.write_lego_grid(
+        os.path.join(pv, f"{prefix}model3D_half_y.vtk"), val,
+        j1=g.ny // 2 + 1, j2=g.ny // 2 + 1, **common,
+    )
+    vtk.write_lego_grid(
+        os.path.join(pv, f"{prefix}model3D_half_z.vtk"), val,
+        k1=g.nz // 2 + 1, k2=g.nz // 2 + 1, **common,
+    )
+    if write_ascii:
+        model_io.write_model_ascii(
+            ctx.model, os.path.join(out_dir, "model", f"{prefix}model_full.txt")
+        )
+
+
+def _data_write(ctx: ProblemContext, out_dir, name, which):
+    """Data outputs in ASCII + VTK (reference: data_write,
+    data_gravmag.f90:293-354)."""
+    data_io.write_data_points(ctx.data, os.path.join(out_dir, "data", f"{name}.txt"), which)
+    val = ctx.data.val_meas if which == 1 else ctx.data.val_calc
+    vtk.write_points(
+        os.path.join(out_dir, "Paraview", f"data_{name}.vtk"),
+        val, ctx.data.X, ctx.data.Y, ctx.data.Z,
+        invert_z=True, units_mult=ctx.data.units_mult,
+    )
+
+
+def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
+    """d_calc = S m through the stored weighted kernel (model.F90:220-307)."""
+    ctx.data.val_calc = sens.calculate_data(
+        ctx.kernel,
+        ctx.model.val,
+        ctx.column_weight,
+        cfg.inversion.problem_weight[ctx.index],
+        ctx.data.weight,
+        solve_dtype,
+    )
+
+
+def _calculate_model_cost(ctx: ProblemContext, norm_power: float) -> float:
+    """Lp model-prior cost (reference: calculate_cost_model, costs.f90:74-113)."""
+    cw = ctx.column_weight
+    diff = np.where(cw != 0.0, (ctx.model.val[0] - ctx.model.val_prior[0]) / np.where(cw != 0.0, cw, 1.0), 0.0)
+    return float(np.sum(np.abs(diff) ** norm_power))
+
+
+COSTS_HEADER = (
+    "# 1:iteration, 2:data_cost_grav, 3:data_cost_mag, 4:model_cost_grav, 5:model_cost_mag,"
+    " 6:ADMM_cost_grav, 7:ADMM_cost_mag, 8:ADMM_weight_grav, 9:ADMM_weight_mag,"
+    " 10:damp_gradient_cost_x_grav, 11:damp_gradient_cost_y_grav, 12:damp_gradient_cost_z_grav,"
+    " 13:damp_gradient_cost_x_mag, 14:damp_gradient_cost_y_mag, 15:damp_gradient_cost_z_mag,"
+    " 16:cross_grad_cost_x, 17:cross_grad_cost_y, 18:cross_grad_cost_z,"
+    " 19:clustering_cost_grav, 20:clustering_cost_mag"
+)
+
+
+def solve_problem_joint_gravmag(
+    cfg: Config,
+    base_dir: str = ".",
+    solve_dtype=None,
+    compute_dtype=None,
+    verbose: bool = True,
+) -> WorkflowResult:
+    """Run the full inversion described by a Parfile configuration."""
+    import jax
+
+    if solve_dtype is None:
+        solve_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if compute_dtype is None:
+        compute_dtype = solve_dtype
+
+    def log(*a):
+        if verbose:
+            print(*a, flush=True)
+
+    t_start = time.time()
+    ipar = cfg.inversion
+    out_dir = _mkoutdir(cfg, base_dir)
+
+    active = [i for i in (GRAV, MAGN) if cfg.solve_problem(i)]
+    if not active:
+        raise ValueError("No active problems (both problem weights are zero).")
+    ctxs: Dict[int, ProblemContext] = {
+        i: ProblemContext(index=i, par=cfg.problem_params(i)) for i in active
+    }
+    log(f"Solving problem grav/mag. active = {[PROBLEM_PREFIX[i] for i in active]}")
+
+    # ---- (I) model grid ----
+    for i, ctx in ctxs.items():
+        par = ctx.par
+        grid = model_io.read_model_grid(
+            os.path.join(base_dir, par.model_grid_file), par.nx, par.ny, par.nz, par.z_axis_dir
+        )
+        ctx.model = ModelState(
+            grid=grid,
+            ncomponents=par.nmodel_components,
+            units_mult=par.model_units_mult,
+            vtk_label=par.vtk_model_label,
+        )
+
+    # ---- (II) data ----
+    for i, ctx in ctxs.items():
+        par = ctx.par
+        ctx.data = data_io.read_data_points(
+            os.path.join(base_dir, par.data_grid_file), par.ndata, par.ndata_components,
+            par.data_units_mult, par.z_axis_dir, grid_only=True,
+        )
+        if par.use_data_error == 1:
+            data_io.read_data_error(ctx.data, os.path.join(base_dir, par.data_error_file))
+
+    # ---- (III) depth weights + sensitivity ----
+    for i, ctx in ctxs.items():
+        par = ctx.par
+        sensit_dir = os.path.join(out_dir, "SENSIT")
+        if par.sensit_read == 0:
+            log(f"Calculating the depth weight for {PROBLEM_PREFIX[i]}, type = {par.depth_weighting_type}")
+            cw = sens.calculate_depth_weight(par, ctx.model.grid, ctx.data, compute_dtype)
+            cw = ipar.column_weight_multiplier[i] * cw
+            cw = sens.apply_local_depth_weighting(par, cw)
+            ctx.column_weight = cw
+        else:
+            cache_dir = os.path.join(base_dir, par.sensit_path)
+            ctx.column_weight = _read_depth_weight_file(cache_dir, i)
+            if par.sensit_read == 2:
+                pass  # weight read; kernel recomputed below
+
+        kernel = None
+        if par.sensit_read == 1:
+            kernel = try_read_kernel_cache(os.path.join(base_dir, par.sensit_path), par, ctx.model.grid)
+            if kernel is None:
+                log(f"WARNING: no readable sensitivity cache for {PROBLEM_PREFIX[i]}; recomputing.")
+        if kernel is None:
+            log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel...")
+            t0 = time.time()
+            kernel = sens.compute_sensitivity(
+                par, ctx.model.grid, ctx.data, ctx.column_weight,
+                compute_dtype=compute_dtype, store_dtype=jnp.float32,
+            )
+            log(f"  kernel built in {time.time() - t0:.2f}s; "
+                f"COMPRESSION RATE = {kernel.nnz / max(kernel.S.size, 1):.6f}; "
+                f"COMPRESSION ERROR, r = {kernel.comp_error:.6e}")
+            write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
+
+        # Bake in problem weight x data weights (sensitivity_gravmag.F90:836-843).
+        ctx.kernel = sens.apply_row_weights(
+            kernel, ipar.problem_weight[i], ctx.data.weight
+        )
+        # Cast once to the solver dtype for the LSQR matvecs.
+        ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
+
+    # ---- ADMM bounds ----
+    if ipar.admm_type > 0:
+        for i, ctx in ctxs.items():
+            model_io.set_model_bounds(_with_paths(ipar, base_dir), ctx.model, i)
+
+    # ---- damping-gradient and damping local weights ----
+    for i, ctx in ctxs.items():
+        if ipar.beta[i] != 0.0:
+            ctx.model.allocate_damping_gradient_arrays()
+            if ipar.damp_grad_weight_type > 1:
+                model_io.read_damping_gradient_weights(
+                    ctx.model, os.path.join(base_dir, ipar.damping_gradient_file[i])
+                )
+        if ipar.apply_local_damping_weight > 0:
+            model_io.read_damping_weights(
+                ctx.model, os.path.join(base_dir, ipar.damping_weight_file[i])
+            )
+
+    # ---- cross-gradient vector field / clustering mixtures ----
+    vec_field = None
+    if ipar.cross_grad_weight != 0.0 and ipar.vec_field_type > 0:
+        vec_field = model_io.read_vector_field(
+            os.path.join(base_dir, ipar.vec_field_file), ipar.nelements_total
+        )
+
+    mixture = None
+    if ipar.clustering_weight_glob[0] != 0.0 or ipar.clustering_weight_glob[1] != 0.0:
+        mixture = _read_mixtures(cfg, base_dir)
+
+    # ---- synthetic data (problem_joint_gravmag.F90:277-362) ----
+    for i, ctx in ctxs.items():
+        par = ctx.par
+        if par.use_synthetic_model:
+            model_io.set_model(
+                ctx.model, 2, 0.0, os.path.join(base_dir, par.synthetic_model_file)
+            )
+            _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_synth_")
+            _calculate_data(ctx, cfg, solve_dtype)
+            _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_synthetic", 2)
+            # The reference re-reads the just-written synthetic file as the
+            # observed data; writing divides by units_mult and reading
+            # multiplies, so this is val_meas = val_calc.
+            ctx.data.val_meas = ctx.data.val_calc.copy()
+        else:
+            data_io.read_data_values(ctx.data, os.path.join(base_dir, par.data_grid_file))
+        _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_observed", 1)
+
+    # ---- build the jitted solver ----
+    g0 = ctxs[active[0]].model.grid
+    wavelet_domain = decide_wavelet_domain(ipar) if ipar.compression_type > 0 else False
+    spec = SystemSpec(
+        active=tuple(active),
+        ncomp=ipar.nmodel_components,
+        nx=g0.nx, ny=g0.ny, nz=g0.nz,
+        ndata_rows=tuple(ipar.ndata[i] * ipar.ndata_components[i] for i in active),
+        compression_type=ipar.compression_type,
+        wavelet_domain=wavelet_domain,
+        problem_weight=ipar.problem_weight,
+        alpha=ipar.alpha,
+        norm_power=ipar.norm_power,
+        add_damping=tuple(
+            ipar.alpha[i] != 0.0 and ipar.problem_weight[i] != 0.0 for i in (0, 1)
+        ),
+        beta=ipar.beta,
+        add_damping_gradient=tuple(
+            ipar.beta[i] != 0.0 and ipar.problem_weight[i] != 0.0 for i in (0, 1)
+        ),
+        admm_enabled=tuple(
+            ipar.admm_type > 0 and ipar.problem_weight[i] != 0.0 for i in (0, 1)
+        ),
+        nlithos=ipar.nlithos,
+        cross_grad=ipar.cross_grad_weight != 0.0,
+        cross_grad_weight=ipar.cross_grad_weight,
+        der_type=ipar.derivative_type,
+        keep_model_constant=ipar.keep_model_constant,
+        vec_field_type=ipar.vec_field_type,
+        clustering=(ipar.clustering_weight_glob[0] != 0.0 or ipar.clustering_weight_glob[1] != 0.0),
+        clustering_weight_glob=ipar.clustering_weight_glob,
+        clustering_opt_type=ipar.clustering_opt_type,
+        apply_local_damping_weight=ipar.apply_local_damping_weight > 0,
+        niter=ipar.niter,
+        rmin=ipar.rmin,
+        gamma=ipar.gamma,
+        target_misfit=ipar.target_misfit,
+    )
+    log(f"WAVELET_DOMAIN = {spec.wavelet_domain}")
+    solver = make_solver(spec)
+
+    # Static per-run arrays.
+    static_arrays = {
+        "S": tuple(ctxs[i].kernel.S for i in active),
+        "cw": tuple(jnp.asarray(ctxs[i].column_weight, solve_dtype) for i in active),
+        "dX": jnp.asarray(g0.dX(), solve_dtype),
+        "dY": jnp.asarray(g0.dY(), solve_dtype),
+        "dZ": jnp.asarray(g0.dZ(), solve_dtype),
+        "damping_weight": tuple(jnp.asarray(ctxs[i].model.damping_weight, solve_dtype) for i in active),
+        "damping_grad_weight": tuple(
+            jnp.asarray(
+                ctxs[i].model.damping_grad_weight
+                if ctxs[i].model.damping_grad_weight is not None
+                else np.ones((3, spec.N)),
+                solve_dtype,
+            )
+            for i in active
+        ),
+        "min_bound": tuple(
+            jnp.asarray(ctxs[i].model.min_bound, solve_dtype)
+            if ctxs[i].model.min_bound is not None
+            else jnp.zeros((1, spec.N), solve_dtype)
+            for i in active
+        ),
+        "max_bound": tuple(
+            jnp.asarray(ctxs[i].model.max_bound, solve_dtype)
+            if ctxs[i].model.max_bound is not None
+            else jnp.zeros((1, spec.N), solve_dtype)
+            for i in active
+        ),
+        "bound_weight": tuple(
+            jnp.asarray(
+                ctxs[i].model.bound_weight
+                if ctxs[i].model.bound_weight is not None
+                else np.ones(spec.N),
+                solve_dtype,
+            )
+            for i in active
+        ),
+    }
+    if vec_field is not None:
+        static_arrays["vec_field"] = jnp.asarray(vec_field, solve_dtype)
+    if mixture is not None:
+        static_arrays.update(
+            {k: jnp.asarray(v, solve_dtype) for k, v in mixture.items()}
+        )
+    else:
+        # Placeholders keep the arrays dict shape static.
+        static_arrays.update(
+            mixture_mu=jnp.zeros((2, 1), solve_dtype),
+            mixture_sigma=jnp.ones((3, 1), solve_dtype),
+            cell_weight=jnp.zeros((spec.N, 1), solve_dtype),
+            mixture_max=jnp.ones((spec.N,), solve_dtype),
+        )
+
+    # ---- prior-models loop (problem_joint_gravmag.F90:374-598) ----
+    result = WorkflowResult(models={}, data={}, cost_data=[0.0, 0.0], cost_model=[0.0, 0.0])
+    number_prior_models = cfg.grav.number_prior_models
+    base_out = out_dir
+    rho_admm = list(ipar.rho_ADMM)
+
+    for m in range(1, number_prior_models + 1):
+        if m > 1:
+            out_dir = base_out.rstrip("/") + f"_{m}/"
+            os.makedirs(out_dir, exist_ok=True)
+
+        log(f"=== Solve problem for prior model #{m}, output folder = {out_dir}")
+
+        # Prior model.
+        for i, ctx in ctxs.items():
+            par = ctx.par
+            prior_file = par.prior_model_file
+            if m > 1:
+                prior_file = f"{prior_file}_{m}"
+            model_io.set_model(
+                ctx.model, par.prior_model_type, par.prior_model_val,
+                os.path.join(base_dir, prior_file),
+            )
+            ctx.model.val_prior = ctx.model.val.copy()
+            if par.prior_model_type > 1:
+                _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_prior_")
+            _calculate_data(ctx, cfg, solve_dtype)
+            _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_prior", 2)
+
+        # Starting model.
+        for i, ctx in ctxs.items():
+            par = ctx.par
+            model_io.set_model(
+                ctx.model, par.start_model_type, par.start_model_val,
+                os.path.join(base_dir, par.start_model_file),
+            )
+            if par.start_model_type > 1:
+                _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_starting_")
+            _calculate_data(ctx, cfg, solve_dtype)
+            _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_starting", 2)
+
+        # Initial costs.
+        cost_model = [0.0, 0.0]
+        cost_data = [0.0, 0.0]
+        for i, ctx in ctxs.items():
+            cost_model[i] = _calculate_model_cost(ctx, ipar.norm_power)
+            cost_data[i] = ctx.data.get_cost()
+            log(f"data cost (initial) [{PROBLEM_PREFIX[i]}] = {cost_data[i]}")
+
+        # ADMM state.
+        admm_z = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
+        admm_u = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
+
+        costs_path = os.path.join(out_dir, "costs.txt")
+        costs_f = open(costs_path, "w")
+        costs_f.write(COSTS_HEADER + "\n")
+
+        last_costs = {}
+        extras_np = {}
+
+        # ---- major inversion loop ----
+        for it in range(1, ipar.ninversions + 1):
+            if os.path.exists(os.path.join(base_dir, "stop")):
+                log("Stop file found! Exiting the loop.")
+                break
+
+            log(f"=== Iteration {it} / prior model {m} ===")
+            t_it = time.time()
+
+            # Residuals (problem_joint_gravmag.F90:666-675).
+            for i, ctx in ctxs.items():
+                ctx.residuals = ctx.data.weight * (ctx.data.val_meas - ctx.data.val_calc)
+
+            arrays = dict(static_arrays)
+            arrays.update(
+                model=tuple(jnp.asarray(ctxs[i].model.val, solve_dtype) for i in active),
+                prior=tuple(jnp.asarray(ctxs[i].model.val_prior, solve_dtype) for i in active),
+                residuals=tuple(jnp.asarray(ctxs[i].residuals, solve_dtype) for i in active),
+                admm_z=tuple(admm_z),
+                admm_u=tuple(admm_u),
+                rho_admm=jnp.asarray(rho_admm, solve_dtype),
+            )
+
+            out = solver(arrays)
+
+            admm_z = list(out["admm_z"])
+            admm_u = list(out["admm_u"])
+            last_costs = {k: float(v) if np.ndim(v) == 0 else np.asarray(v) for k, v in out["costs"].items()}
+            extras_np = {k: np.asarray(v) for k, v in out["extras"].items()}
+
+            # Update models + new data.
+            for a, i in enumerate(active):
+                ctxs[i].model.update(np.asarray(out["delta"][a]))
+                _calculate_data(ctxs[i], cfg, solve_dtype)
+
+            if ipar.write_model_niter > 0 and it % ipar.write_model_niter == 0:
+                for i, ctx in ctxs.items():
+                    _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_inter_{it}_")
+
+            # costs.txt row for the previous iteration
+            # (problem_joint_gravmag.F90:519-528).
+            row = _costs_row(it - 1, cost_data, cost_model, last_costs, rho_admm)
+            costs_f.write(row + "\n")
+            costs_f.flush()
+
+            # New costs.
+            for i, ctx in ctxs.items():
+                cost_model[i] = _calculate_model_cost(ctx, ipar.norm_power)
+                cost_data[i] = ctx.data.get_cost()
+
+            log(
+                f"  iter done in {time.time() - t_it:.2f}s, lsqr iters = {int(out['lsqr_iters'])}, "
+                + ", ".join(
+                    f"{PROBLEM_PREFIX[i]} cost = {cost_data[i]:.6e}" for i in active
+                )
+            )
+            result.costs_history.append(
+                {"iteration": it, "cost_data": list(cost_data), "cost_model": list(cost_model)}
+            )
+
+            # Dynamic ADMM weight adjustment (problem_joint_gravmag.F90:618-638).
+            if ipar.admm_type > 0 and ipar.weight_multiplier_ADMM != 1.0:
+                for i in active:
+                    if (
+                        cost_data[i] < ipar.data_cost_threshold_ADMM
+                        and rho_admm[i] < ipar.max_weight_ADMM
+                    ):
+                        rho_admm[i] = ipar.weight_multiplier_ADMM * rho_admm[i]
+                        log(f"Increased the ADMM weight to: {rho_admm[i]}")
+
+        # Final costs row (problem_joint_gravmag.F90:550).
+        costs_f.write(
+            f" {ipar.ninversions} {cost_data[0]:.9E} {cost_data[1]:.9E}"
+            f" {cost_model[0]:.9E} {cost_model[1]:.9E}\n"
+        )
+        costs_f.close()
+
+        # ---- final outputs ----
+        for i, ctx in ctxs.items():
+            _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_final_", write_ascii=True)
+            log(
+                f"Model {i + 1} min/max values = {ctx.model.val.min()}, {ctx.model.val.max()}"
+            )
+            _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_final", 2)
+            # Final data residual written over val_calc (F90:569-578).
+            saved = ctx.data.val_calc.copy()
+            ctx.data.val_calc = ctx.data.val_meas - ctx.data.val_calc
+            _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_misfit", 2)
+            ctx.data.val_calc = saved
+
+        if "cross_grad_magnitude" in extras_np and active:
+            ctx0 = ctxs[active[0]]
+            g = ctx0.model.grid
+            vtk.write_struct_grid(
+                os.path.join(out_dir, "Paraview", "cross_grad_final_model3D_full.vtk"),
+                extras_np["cross_grad_magnitude"][:, None],
+                g.X1, g.Y1, g.Z1, g.X2, g.Y2, g.Z2, g.nx, g.ny, g.nz,
+                invert_z=True, units_mult=ctx0.model.units_mult, label=ctx0.model.vtk_label,
+            )
+        if "clustering_probabilities" in extras_np and active:
+            ctx0 = ctxs[active[0]]
+            g = ctx0.model.grid
+            vtk.write_struct_grid(
+                os.path.join(out_dir, "Paraview", "clustering_final_model3D_full.vtk"),
+                extras_np["clustering_probabilities"][:, None],
+                g.X1, g.Y1, g.Z1, g.X2, g.Y2, g.Z2, g.nx, g.ny, g.nz,
+                invert_z=True, units_mult=ctx0.model.units_mult, label=ctx0.model.vtk_label,
+            )
+
+    result.models = {i: ctxs[i].model for i in active}
+    result.data = {i: ctxs[i].data for i in active}
+    result.cost_data = cost_data
+    result.cost_model = cost_model
+    log(f"THE END. total time = {time.time() - t_start:.2f}s")
+    return result
+
+
+def _costs_row(it, cost_data, cost_model, costs, rho_admm) -> str:
+    """One costs.txt row in the reference's 20-column layout
+    (problem_joint_gravmag.F90:519-528)."""
+
+    def get(key):
+        return float(costs.get(key, 0.0))
+
+    xg = costs.get("cross_grad_cost", np.zeros(3))
+    xg = np.asarray(xg) if np.ndim(xg) else np.array([xg, 0, 0])
+    vals = [
+        cost_data[0], cost_data[1], cost_model[0], cost_model[1],
+        get("admm_cost_0"), get("admm_cost_1"),
+        rho_admm[0], rho_admm[1],
+        get("damping_gradient_cost_x_0"), get("damping_gradient_cost_y_0"), get("damping_gradient_cost_z_0"),
+        get("damping_gradient_cost_x_1"), get("damping_gradient_cost_y_1"), get("damping_gradient_cost_z_1"),
+        float(xg[0]), float(xg[1]), float(xg[2]),
+        get("clustering_cost_0"), get("clustering_cost_1"),
+    ]
+    return f" {it} " + " ".join(f"{v:.9E}" for v in vals)
+
+
+def _with_paths(ipar, base_dir):
+    """Shallow copy of InversionParams with bounds-file paths resolved."""
+    import copy
+
+    out = copy.copy(ipar)
+    out.bounds_ADMM_file = tuple(
+        os.path.join(base_dir, p) if p != "None" else p for p in ipar.bounds_ADMM_file
+    )
+    return out
+
+
+def _read_depth_weight_file(cache_dir: str, problem_index: int) -> np.ndarray:
+    """Binary depth-weight file (reference format: int32 N then float64 N,
+    sensitivity_gravmag.F90:446-460)."""
+    suffix = ("grav", "magn")[problem_index]
+    path = os.path.join(cache_dir, f"sensit_{suffix}_weight")
+    with open(path, "rb") as f:
+        n = int(np.fromfile(f, np.int32, 1)[0])
+        w = np.fromfile(f, np.float64, n)
+    return w
+
+
+def _read_mixtures(cfg: Config, base_dir: str) -> dict:
+    """Clustering mixture + cell weights (reference:
+    clustering_read_mixtures, clustering.F90:163-278)."""
+    ipar = cfg.inversion
+    C = ipar.nclusters
+    N = ipar.nelements_total
+    with open(os.path.join(base_dir, ipar.mixture_file)) as f:
+        nclusters_read = int(f.readline().split()[0])
+        if nclusters_read != C:
+            raise ValueError("The number of clusters is inconsistent!")
+        table = np.loadtxt(f, ndmin=2)
+    cluster_weight = table[:, 0]
+    mu = np.stack([table[:, 1], table[:, 3]])  # (2, C)
+    sigma = np.stack([table[:, 2], table[:, 4], table[:, 5]])  # (3, C): s11, s22, s12
+
+    if ipar.clustering_constraints_type != 1:
+        with open(os.path.join(base_dir, ipar.cell_weights_file)) as f:
+            n_read, c_read = (int(t) for t in f.readline().split()[:2])
+            if n_read != N or c_read != C:
+                raise ValueError("The clustering cell weights are inconsistent!")
+            cell_weight = np.loadtxt(f, ndmin=2)[:, :C]
+    else:
+        cw = cluster_weight / cluster_weight.sum()
+        cell_weight = np.repeat(cw[None, :], N, axis=0)
+
+    # Maximum of the mixture, assumed at one of the cluster centers
+    # (clustering.F90:654-678).
+    from tomofastx_tpu.inversion.operators import gaussian_mixture
+
+    weight_loc = tuple(1.0 if w != 0.0 else 0.0 for w in ipar.clustering_weight_glob)
+    maxima = []
+    for c in range(C):
+        v1 = np.full(N, mu[0, c])
+        v2 = np.full(N, mu[1, c])
+        g, _ = gaussian_mixture(
+            jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(mu), jnp.asarray(sigma),
+            jnp.asarray(cell_weight), weight_loc,
+        )
+        maxima.append(np.asarray(g))
+    mixture_max = np.max(np.stack(maxima), axis=0)
+
+    return dict(
+        mixture_mu=mu, mixture_sigma=sigma, cell_weight=cell_weight, mixture_max=mixture_max
+    )

@@ -1,0 +1,405 @@
+"""Sensitivity-kernel construction: depth weighting + dense kernel build +
+wavelet-domain thresholding ("compression").
+
+TPU-native counterpart of the reference forward layer
+(sensitivity_gravmag.F90, weights_gravmag.f90). Design shift, not a port:
+
+- The kernel is built as one dense array S of shape
+  (ndata, ndata_components, nmodel_components, N) by a batched/vmapped
+  closed-form prism evaluation — the whole "hot loop" of the reference
+  (sensitivity_gravmag.F90:189-318) becomes a single XLA program per data
+  chunk, with no disk round-trip.
+- "Compression" keeps the reference's exact operator semantics — depth
+  weight, 3-D wavelet transform of each row, per-row threshold at the
+  (nel_kept+1)-th largest |coefficient| with a 1e-30 floor
+  (sensitivity_gravmag.F90:237-272) — but realises it as a dense
+  wavelet-domain matrix with the discarded entries zeroed.  On the MXU a
+  dense matmul with structured zeros beats any gather-based sparse kernel at
+  these row densities; a packed top-k layout is kept for the disk cache and
+  for very large models.
+- The per-row compression-error metric r = sqrt(discarded/full) after
+  Li & Oldenburg (2003) is returned for parity with the reference's printout
+  (sensitivity_gravmag.F90:282-285, 346-355).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tomofastx_tpu.config.parfile import GravParams, MagParams
+from tomofastx_tpu.models.data import SurveyData
+from tomofastx_tpu.models.grid import Grid
+from tomofastx_tpu.ops import prism
+from tomofastx_tpu.ops import wavelet as W
+
+
+# =============================================================================
+# Depth weighting (reference: weights_gravmag.f90:46-250)
+# =============================================================================
+
+
+def calculate_depth_weight(
+    par, grid: Grid, data: SurveyData, dtype=jnp.float64
+) -> np.ndarray:
+    """Normalized depth/distance weight per cell, inverted into the matrix
+    *column weight* W^-1 (reference: calculate_depth_weight,
+    weights_gravmag.f90:46-199). Returns the full (N,) column weight."""
+    hx, hy, hz = grid.cell_sizes()
+    dV = grid.cell_volume()
+
+    if par.depth_weighting_type == 1:
+        # Empirical (z + z0)^(-power/2) at the cell center
+        # (weights_gravmag.f90:71-79, 204-223).
+        _, _, zc = grid.cell_centers()
+        depth = zc + par.Z0
+        if np.any(depth <= 0.0):
+            raise ValueError("Error: non-positive depth in depth weighting type 1!")
+        w = depth ** (-par.depth_weighting_power / 2.0)
+
+    elif par.depth_weighting_type == 2:
+        # Integrated distance weighting, Li & Oldenburg (2000) Eq. 19,
+        # 8-point in-cell quadrature (weights_gravmag.f90:81-138).
+        w = np.asarray(
+            _distance_weight(
+                jnp.asarray(grid.X1, dtype),
+                jnp.asarray(grid.X2, dtype),
+                jnp.asarray(grid.Y1, dtype),
+                jnp.asarray(grid.Y2, dtype),
+                jnp.asarray(grid.Z1, dtype),
+                jnp.asarray(grid.Z2, dtype),
+                jnp.asarray(data.X, dtype),
+                jnp.asarray(data.Y, dtype),
+                jnp.asarray(data.Z, dtype),
+                par.depth_weighting_power,
+                par.depth_weighting_beta,
+            )
+        )
+
+    elif par.depth_weighting_type == 3:
+        # Minimum-distance weighting (weights_gravmag.f90:140-161).
+        xc, yc, zc = grid.cell_centers()
+        R0 = 0.01
+        d2 = (
+            (xc[:, None] - data.X[None, :]) ** 2
+            + (yc[:, None] - data.Y[None, :]) ** 2
+            + (zc[:, None] - data.Z[None, :]) ** 2
+        )
+        mindist = np.sqrt(d2.min(axis=1))
+        w = np.sqrt(1.0 / (mindist + R0) ** par.depth_weighting_power)
+
+    else:
+        raise ValueError(f"Not known depth weight type {par.depth_weighting_type}!")
+
+    # Scale by sqrt(cell volume), normalize by the global max, then invert
+    # into the column weight (weights_gravmag.f90:170-195).
+    w = w * np.sqrt(dV)
+    norm = w.max()
+    if norm == 0.0:
+        raise ValueError("Zero depth weight norm!")
+    w = w / norm
+    if np.any(w == 0.0):
+        raise ValueError("Zero damping weight!")
+    return 1.0 / w
+
+
+@partial(jax.jit, static_argnames=("power", "beta"))
+def _distance_weight(X1, X2, Y1, Y2, Z1, Z2, xd, yd, zd, power: float, beta: float):
+    R0 = 0.1
+    dfactor = 0.25
+    dhx = dfactor * jnp.abs(X2 - X1)
+    dhy = dfactor * jnp.abs(Y2 - Y1)
+    dhz = dfactor * jnp.abs(Z2 - Z1)
+    dV = jnp.abs((X2 - X1) * (Y2 - Y1) * (Z2 - Z1))
+
+    # 8 quadrature points per cell: corners moved inside by dfactor*h.
+    px = jnp.stack([X1 + dhx, X2 - dhx])  # (2, N)
+    py = jnp.stack([Y1 + dhy, Y2 - dhy])
+    pz = jnp.stack([Z1 + dhz, Z2 - dhz])
+
+    def per_data(xj, yj, zj):
+        dx2 = (px - xj) ** 2  # (2, N)
+        dy2 = (py - yj) ** 2
+        dz2 = (pz - zj) ** 2
+        # Sum over the 8 combinations (ii, jj, kk).
+        integral = 0.0
+        for ii in range(2):
+            for jj in range(2):
+                for kk in range(2):
+                    Rij = jnp.sqrt(dx2[ii] + dy2[jj] + dz2[kk])
+                    integral = integral + 1.0 / (Rij + R0) ** power
+        integral = integral * dV / 8.0
+        return integral**2
+
+    wr = jnp.sum(jax.vmap(per_data)(xd, yd, zd), axis=0)  # (N,)
+    return (1.0 / jnp.sqrt(dV)) * wr ** (beta / 4.0)
+
+
+def apply_local_depth_weighting(par, column_weight: np.ndarray) -> np.ndarray:
+    """Divide column weights by per-cell local weights from file
+    (reference: weights_gravmag.f90:255-311)."""
+    if par.apply_local_weight > 0:
+        from tomofastx_tpu.io.model_io import read_local_weights
+
+        local = read_local_weights(par.local_weight_file, column_weight.shape[0])
+        out = np.where(local != 0.0, column_weight / np.where(local != 0.0, local, 1.0), 0.0)
+        return out
+    return column_weight
+
+
+# =============================================================================
+# Dense kernel build (reference: calculate_and_write_sensit,
+# sensitivity_gravmag.F90:82-410)
+# =============================================================================
+
+
+@dataclass
+class SensitKernel:
+    """Dense sensitivity operator for one problem.
+
+    S has shape (ndata * ndata_components, nmodel_components * N), stored in
+    MATRIX_PRECISION (float32 by default, like the reference's stored kernel,
+    global_typedefs.F90:42), with the problem weight and data weights baked
+    in at "read" time (sensitivity_gravmag.F90:836-843). In compressed mode
+    the columns live in the wavelet domain."""
+
+    S: jax.Array  # (nrows, ncols)
+    ndata: int
+    ndata_components: int
+    nmodel_components: int
+    nx: int
+    ny: int
+    nz: int
+    compression_type: int  # 0 none, 1 Haar, 2 Daubechies D4
+    comp_error: float = 0.0
+    nnz: int = 0
+
+    @property
+    def nrows(self) -> int:
+        return self.ndata * self.ndata_components
+
+    @property
+    def N(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    def to_solver_domain(self, xm: jax.Array) -> jax.Array:
+        """Model-scaled space -> matrix column space (wavelet if compressed).
+        xm: (..., ncomp*N) flat."""
+        if self.compression_type > 0:
+            shape = xm.shape
+            cube = xm.reshape(*shape[:-1], self.nmodel_components, self.nz, self.ny, self.nx)
+            cube = W.forward_wavelet_3d(cube, self.compression_type)
+            return cube.reshape(shape)
+        return xm
+
+    def from_solver_domain(self, xw: jax.Array) -> jax.Array:
+        """Matrix column space -> model-scaled space (inverse wavelet)."""
+        if self.compression_type > 0:
+            shape = xw.shape
+            cube = xw.reshape(*shape[:-1], self.nmodel_components, self.nz, self.ny, self.nx)
+            cube = W.inverse_wavelet_3d(cube, self.compression_type)
+            return cube.reshape(shape)
+        return xw
+
+
+def _forward_rows(par, grid_arrays, xd, yd, zd, handle_inside: bool, magv, dtype):
+    """Raw physics rows for one observation point →
+    (N, nmodel_components, ndata_components)."""
+    X1, X2, Y1, Y2, Z1, Z2 = grid_arrays
+    if isinstance(par, MagParams):
+        return prism.magprism_row(
+            xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, magv, par.intensity,
+            nmodel_components=par.nmodel_components,
+            ndata_components=par.ndata_components,
+            handle_inside=handle_inside,
+        )
+    # Gravity / gradiometry.
+    if par.data_type == 1:
+        line = prism.gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+        return line[:, None, None]
+    if par.ndata_components == 1:
+        line = prism.gradi_zz(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+        return line[:, None, None]
+    comps = prism.gradi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+    return jnp.stack(comps, axis=-1)[:, None, :]
+
+
+def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_dtype):
+    """Wavelet-transform + threshold a batch of weighted rows.
+
+    lines: (..., N) in model domain (already column-weighted).
+    Returns (compressed (..., N) in store_dtype, nnz count, sum of per-row
+    compression errors r_i)."""
+    N = nx * ny * nz
+    cost_full = jnp.sum(lines.astype(jnp.float64) ** 2, axis=-1) if lines.dtype == jnp.float64 else jnp.sum(lines**2, axis=-1)
+
+    wl = W.forward_wavelet_flat(lines, nx, ny, nz, compression_type)
+    absw = jnp.abs(wl)
+
+    if nel_compressed >= N:
+        threshold = jnp.full(absw.shape[:-1], -1.0, absw.dtype)
+    else:
+        # (nel_compressed + 1)-th largest |coefficient| per row
+        # (= sorted_ascending[N - nel_compressed], sensitivity_gravmag.F90:248-249).
+        topk = jax.lax.top_k(absw, nel_compressed + 1)[0]
+        threshold = topk[..., -1]
+    threshold = jnp.maximum(threshold, 1.0e-30)
+
+    mask = absw > threshold[..., None]
+    compressed = jnp.where(mask, wl, 0.0).astype(store_dtype)
+
+    cost_discarded = jnp.sum(jnp.where(mask, 0.0, wl) ** 2, axis=-1)
+    err = jnp.sqrt(cost_discarded / jnp.where(cost_full > 0, cost_full, 1.0))
+    nnz = jnp.sum(mask)
+    return compressed, nnz, jnp.sum(err)
+
+
+def compute_sensitivity(
+    par,
+    grid: Grid,
+    data: SurveyData,
+    column_weight: np.ndarray,
+    compute_dtype=jnp.float64,
+    store_dtype=jnp.float32,
+    batch_size: int = 256,
+) -> SensitKernel:
+    """Build the dense (optionally wavelet-compressed) sensitivity kernel.
+
+    Mirrors calculate_and_write_sensit (sensitivity_gravmag.F90:82-410):
+    physics row -> multiply by column weight -> (wavelet + threshold) ->
+    cast to storage precision. Data/problem weights are NOT applied here;
+    see apply_row_weights (the reference applies them when re-reading the
+    kernel, sensitivity_gravmag.F90:836-843)."""
+    N = grid.nelements_total
+    nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
+
+    grid_arrays = tuple(
+        jnp.asarray(a, compute_dtype)
+        for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
+    )
+    cw = jnp.asarray(column_weight, compute_dtype)
+
+    magv = None
+    handle_inside = False
+    if isinstance(par, MagParams):
+        magv = prism.dircos(par.mi, par.md, par.theta)
+        # Static decision: only pay for the 6-subprism in-cell branch when
+        # some observation point actually lies inside the grid volume
+        # (reference always branches per cell, magnetic_field.f90:139-141).
+        (xmin, xmax), (ymin, ymax), (zmin, zmax) = grid.bounds()
+        inside_any = np.any(
+            (data.X > xmin) & (data.X < xmax)
+            & (data.Y > ymin) & (data.Y < ymax)
+            & (data.Z > zmin) & (data.Z < zmax)
+        )
+        handle_inside = bool(inside_any)
+
+    if par.compression_type > 0:
+        nel_compressed = int(par.compression_rate * N)
+    else:
+        nel_compressed = N
+
+    @jax.jit
+    def build_chunk(xd, yd, zd):
+        def one(x, y, z):
+            rows = _forward_rows(par, grid_arrays, x, y, z, handle_inside, magv, compute_dtype)
+            return rows * cw[:, None, None]  # depth weighting per column
+
+        rows = jax.vmap(one)(xd, yd, zd)  # (B, N, nmc, ndc)
+        rows = jnp.moveaxis(rows, 1, -1)  # (B, nmc, ndc, N) -> lines over N
+        rows = jnp.swapaxes(rows, 1, 2)  # (B, ndc, nmc, N)
+        if par.compression_type > 0:
+            comp, nnz, err_sum = _compress_lines(
+                rows, grid.nx, grid.ny, grid.nz, par.compression_type, nel_compressed, store_dtype
+            )
+            return comp, nnz, err_sum
+        comp = rows.astype(store_dtype)
+        return comp, jnp.asarray(comp.size), jnp.asarray(0.0, compute_dtype)
+
+    xs = np.asarray(data.X, np.float64)
+    ys = np.asarray(data.Y, np.float64)
+    zs = np.asarray(data.Z, np.float64)
+
+    chunks = []
+    nnz_total = 0
+    err_total = 0.0
+    for s in range(0, nd, batch_size):
+        e = min(s + batch_size, nd)
+        comp, nnz, err_sum = build_chunk(
+            jnp.asarray(xs[s:e], compute_dtype),
+            jnp.asarray(ys[s:e], compute_dtype),
+            jnp.asarray(zs[s:e], compute_dtype),
+        )
+        chunks.append(np.asarray(comp))
+        nnz_total += int(nnz)
+        err_total += float(err_sum)
+
+    S4 = np.concatenate(chunks, axis=0)  # (nd, ndc, nmc, N)
+    prism.validate_finite("sensitivity kernel", S4)
+    S = S4.reshape(nd * ndc, nmc * N)
+
+    comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
+    return SensitKernel(
+        S=jnp.asarray(S),
+        ndata=nd,
+        ndata_components=ndc,
+        nmodel_components=nmc,
+        nx=grid.nx,
+        ny=grid.ny,
+        nz=grid.nz,
+        compression_type=par.compression_type,
+        comp_error=comp_error,
+        nnz=nnz_total,
+    )
+
+
+def apply_row_weights(kernel: SensitKernel, problem_weight: float, data_weight: np.ndarray) -> SensitKernel:
+    """Bake problem_weight * data_weight into the matrix rows, in storage
+    precision (reference: read_sensitivity_kernel,
+    sensitivity_gravmag.F90:836-843). data_weight: (ndata, ndc)."""
+    wrow = (problem_weight * np.asarray(data_weight)).reshape(-1).astype(np.float32)
+    S = kernel.S * jnp.asarray(wrow, kernel.S.dtype)[:, None]
+    return SensitKernel(
+        S=S,
+        ndata=kernel.ndata,
+        ndata_components=kernel.ndata_components,
+        nmodel_components=kernel.nmodel_components,
+        nx=kernel.nx,
+        ny=kernel.ny,
+        nz=kernel.nz,
+        compression_type=kernel.compression_type,
+        comp_error=kernel.comp_error,
+        nnz=kernel.nnz,
+    )
+
+
+def calculate_data(
+    kernel: SensitKernel,
+    model_val: np.ndarray,
+    column_weight: np.ndarray,
+    problem_weight: float,
+    data_weight: np.ndarray,
+    solve_dtype=jnp.float64,
+) -> np.ndarray:
+    """Forward d = S m using the stored (weighted) kernel
+    (reference: model_calculate_data, model.F90:220-307): scale the model by
+    1/column_weight, wavelet-transform if compressed, multiply, then undo the
+    problem and data weights. Returns (ndata, ndc)."""
+    cw = np.asarray(column_weight)
+    m = np.asarray(model_val).reshape(kernel.nmodel_components, -1)
+    m_scaled = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0)
+    x = jnp.asarray(m_scaled.reshape(-1), solve_dtype)
+    x = kernel.to_solver_domain(x)
+    d = kernel.S.astype(solve_dtype) @ x
+    d = np.asarray(d).reshape(kernel.ndata, kernel.ndata_components)
+    if problem_weight == 0.0:
+        raise ValueError("Zero problem weight in calculate_data!")
+    d = d / problem_weight
+    d = d / np.asarray(data_weight)
+    return d
