@@ -1,0 +1,99 @@
+"""End-to-end integration test on the shipped Mansfield-slice fixture.
+
+Mirrors the reference's documented acceptance run (README.md:50-56):
+``tomofastx -p parfiles/Parfile_mansf_slice.txt`` — gravity inversion with
+3-lithology ADMM bounds and 0.15 wavelet compression on a 2x128x32 grid with
+256 synthetic data.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tomofastx_tpu.config.parfile import read_parfile
+from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def mansf_result(tmp_path_factory):
+    out = tmp_path_factory.mktemp("mansf")
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(out) + "/"
+    cfg.inversion.ninversions = 20  # enough to reach deep misfit reduction
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+    return cfg, res, str(out)
+
+
+def test_data_misfit_converges(mansf_result):
+    cfg, res, out = mansf_result
+    # The reference reaches ~1e-4-level relative misfit; in 20 iterations we
+    # must already be well below 1e-3.
+    assert res.cost_data[0] < 1e-3
+    history = [h["cost_data"][0] for h in res.costs_history]
+    assert history[0] > history[-1]
+
+
+def test_model_respects_admm_lithologies(mansf_result):
+    """After ADMM iterations the model concentrates near the 3 allowed
+    density intervals [-20,20], [90,130], [220,260]."""
+    cfg, res, out = mansf_result
+    m = res.models[0].val[0]
+    intervals = [(-20, 20), (90, 130), (220, 260)]
+    slack = 40.0  # partial convergence slack at 20 iterations
+    dist = np.full(m.shape, np.inf)
+    for lo, hi in intervals:
+        d = np.maximum(np.maximum(lo - m, m - hi), 0.0)
+        dist = np.minimum(dist, d)
+    assert np.quantile(dist, 0.95) < slack
+
+
+def test_outputs_written(mansf_result):
+    cfg, res, out = mansf_result
+    for rel in (
+        "costs.txt",
+        "model/grav_final_model_full.txt",
+        "Paraview/grav_final_model3D_full.vtk",
+        "Paraview/data_grav_observed.vtk",
+        "data/grav_final.txt",
+        "SENSIT/sensit_grav_meta.txt",
+        "SENSIT/sensit_grav_1_0",
+        "SENSIT/sensit_grav_nnz",
+        "SENSIT/sensit_grav_weight",
+    ):
+        assert os.path.exists(os.path.join(out, rel)), rel
+
+
+def test_costs_file_layout(mansf_result):
+    cfg, res, out = mansf_result
+    lines = open(os.path.join(out, "costs.txt")).read().strip().splitlines()
+    assert lines[0].startswith("# 1:iteration")
+    first = lines[1].split()
+    assert len(first) == 20
+    assert int(first[0]) == 0
+
+
+def test_sensit_cache_reusable(mansf_result, tmp_path):
+    """sensit.readFromFiles = 1 reloads the kernel we wrote and reproduces
+    the inversion (checkpoint/restart parity,
+    sensitivity_gravmag.F90:648-883)."""
+    cfg, res, out = mansf_result
+    cfg2 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg2.path_output = str(tmp_path) + "/"
+    cfg2.inversion.ninversions = 3
+    cfg2.grav.sensit_read = 1
+    cfg2.magn.sensit_read = 1
+    cfg2.grav.sensit_path = os.path.join(out, "SENSIT") + "/"
+    cfg2.magn.sensit_path = cfg2.grav.sensit_path
+    res2 = solve_problem_joint_gravmag(cfg2, base_dir=REF, verbose=False)
+
+    cfg3 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg3.path_output = str(tmp_path) + "_recomputed/"
+    cfg3.inversion.ninversions = 3
+    res3 = solve_problem_joint_gravmag(cfg3, base_dir=REF, verbose=False)
+
+    np.testing.assert_allclose(
+        res2.models[0].val, res3.models[0].val, rtol=0, atol=1e-8
+    )

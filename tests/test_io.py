@@ -1,0 +1,111 @@
+"""I/O readers/writers: model grid, model values, data points, sensit cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tomofastx_tpu.config.parfile import GravParams
+from tomofastx_tpu.io import data_io, model_io
+from tomofastx_tpu.io.sensit_cache import try_read_kernel_cache, write_kernel_cache
+from tomofastx_tpu.models.model import ModelState
+from tomofastx_tpu.ops.sensitivity import SensitKernel
+
+MANSF = "/root/reference/data/gravmag/mansf_slice"
+
+
+def test_read_model_grid_mansf():
+    g = model_io.read_model_grid(f"{MANSF}/true_model_grav_3litho-grid.txt", 2, 128, 32)
+    assert g.nelements_total == 8192
+    assert np.all(g.X2 > g.X1) and np.all(g.Z2 > g.Z1)
+    # Structured spacings exist.
+    assert g.dX().shape == (2,) and g.dY().shape == (128,) and g.dZ().shape == (32,)
+    np.testing.assert_allclose(g.dX(), 127.0)
+
+
+def test_read_model_values_mansf():
+    vals = model_io.read_model_values(f"{MANSF}/true_model_grav_3litho-values.txt", 8192, 1)
+    assert vals.shape == (1, 8192)
+
+
+def test_read_data_grid_mansf():
+    d = data_io.read_data_points(f"{MANSF}/data_grid.txt", 256, 1, grid_only=True)
+    assert d.X.shape == (256,)
+    assert np.all(d.Z == -0.1)  # 0.1 m above surface in depth space
+
+
+def test_data_roundtrip(tmp_path):
+    d = data_io.read_data_points(f"{MANSF}/data_grid.txt", 256, 1, grid_only=True)
+    d.val_calc = np.random.default_rng(0).normal(size=(256, 1))
+    path = str(tmp_path / "data" / "out.txt")
+    data_io.write_data_points(d, path, which=2)
+    d2 = data_io.read_data_points(path, 256, 1, grid_only=False)
+    np.testing.assert_allclose(d2.val_meas, d.val_calc, rtol=1e-8)
+
+
+def test_model_ascii_roundtrip(tmp_path):
+    g = model_io.read_model_grid(f"{MANSF}/true_model_grav_3litho-grid.txt", 2, 128, 32)
+    m = ModelState(grid=g, ncomponents=1)
+    m.val = np.random.default_rng(1).normal(size=(1, 8192))
+    path = str(tmp_path / "model.txt")
+    model_io.write_model_ascii(m, path)
+    back = model_io.read_model_values(path, 8192, 1)
+    np.testing.assert_allclose(back, m.val, rtol=1e-8)
+
+
+def test_bounds_file(tmp_path):
+    g = model_io.read_model_grid(f"{MANSF}/true_model_grav_3litho-grid.txt", 2, 128, 32)
+    m = ModelState(grid=g)
+    m.allocate_bound_arrays(3)
+    model_io.read_bound_constraints(m, f"{MANSF}/grav_bound_constraints_3litho.txt")
+    assert m.min_bound.shape == (3, 8192)
+    assert np.all(m.min_bound <= m.max_bound)
+    assert m.bound_weight.shape == (8192,)
+
+
+def test_sensit_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    nd, ndc, nmc, nx, ny, nz = 5, 1, 1, 4, 3, 2
+    N = nx * ny * nz
+    S = rng.normal(size=(nd * ndc, nmc * N)).astype(np.float32)
+    S[np.abs(S) < 0.7] = 0.0  # sparsify like a compressed kernel
+    kern = SensitKernel(
+        S=jnp.asarray(S), ndata=nd, ndata_components=ndc, nmodel_components=nmc,
+        nx=nx, ny=ny, nz=nz, compression_type=1, comp_error=0.125,
+    )
+    par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd, compression_type=1,
+                     depth_weighting_type=1)
+    cw = rng.random(N) + 1.0
+    cache = str(tmp_path / "SENSIT")
+    write_kernel_cache(cache, par, kern, cw)
+
+    kern2 = try_read_kernel_cache(cache + "/", par, type("G", (), dict(nx=nx, ny=ny, nz=nz))())
+    assert kern2 is not None
+    np.testing.assert_array_equal(np.asarray(kern2.S), S)
+    assert kern2.comp_error == pytest.approx(0.125)
+
+    # Depth weight file roundtrip.
+    from tomofastx_tpu.inversion.workflow import _read_depth_weight_file
+
+    w = _read_depth_weight_file(cache, 0)
+    np.testing.assert_allclose(w, cw)
+
+
+def test_vtk_files_written(tmp_path):
+    from tomofastx_tpu.io import vtk
+
+    g = model_io.read_model_grid(f"{MANSF}/true_model_grav_3litho-grid.txt", 2, 128, 32)
+    val = np.random.default_rng(3).normal(size=(8192, 1))
+    p1 = str(tmp_path / "m.vtk")
+    vtk.write_struct_grid(p1, val, g.X1, g.Y1, g.Z1, g.X2, g.Y2, g.Z2, g.nx, g.ny, g.nz)
+    head = open(p1, "rb").read(80)
+    assert head.startswith(b"# vtk DataFile Version 3.0\nTomofast-x\nBINARY\nDATASET STRUCTURED_GRID\n")
+    p2 = str(tmp_path / "lego.vtk")
+    vtk.write_lego_grid(p2, val, g.X1, g.Y1, g.Z1, g.X2, g.Y2, g.Z2, g.nx, g.ny, g.nz,
+                        i1=2, i2=2)
+    assert os.path.getsize(p2) > 0
+    p3 = str(tmp_path / "pts.vtk")
+    vtk.write_points(p3, val[:256], g.X1[:256], g.Y1[:256], g.Z1[:256])
+    assert os.path.getsize(p3) > 0

@@ -151,12 +151,13 @@ def dircos(incl: float, decl: float, azim: float):
     return a, b, c
 
 
-def sharmbox(x0, y0, z0, x1, y1, z1, x2, y2, z2):
+def sharmbox(x0, y0, z0, x1, x2, y1, y2, z1, z2):
     """Magnetic tensor of prisms at one observation point (Sharma 1966).
 
-    Vectorized port of sharmbox (magnetic_field.f90:321-457). Returns
-    (ts_x, ts_y, ts_z), each a tuple of 3 arrays (the tensor rows):
-    ts_x = (txx, txy, txz), etc.
+    Vectorized port of sharmbox (magnetic_field.f90:321-457); note the
+    corner arguments are ordered (x1, x2, y1, y2, z1, z2) like every other
+    kernel in this module. Returns (ts_x, ts_y, ts_z), each a tuple of 3
+    arrays (the tensor rows): ts_x = (txx, txy, txz), etc.
     """
     rx1 = x1 - x0
     rx2 = x2 - x0
