@@ -17,9 +17,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -36,31 +41,41 @@ def main():
     niter = 100
     alpha = 1e-3
 
+    t_gen = time.time()
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     S = jax.random.normal(k1, (ndata, N), jnp.float32) * (1.0 / np.sqrt(N))
     b = jax.random.normal(k2, (ndata,), jnp.float32)
     bb = jnp.concatenate([b, jnp.zeros((N,), jnp.float32)])
-
-    def matvec(x):
-        return jnp.concatenate([S @ x, alpha * x])
-
-    def rmatvec(u):
-        return S.T @ u[:ndata] + alpha * u[ndata:]
+    jax.block_until_ready((S, bb))
+    _log(f"[bench] data generated in {time.time() - t_gen:.1f}s "
+         f"({ndata}x{N} f32, {ndata * N * 4 / 1e9:.2f} GB)")
 
     @jax.jit
-    def solve(bb):
+    def solve(S, bb):
+        # S must be an argument (NOT a closure capture) so it is not baked
+        # into the program as a multi-GB constant.
+        def matvec(x):
+            return jnp.concatenate([S @ x, alpha * x])
+
+        def rmatvec(u):
+            return S.T @ u[:ndata] + alpha * u[ndata:]
+
         return lsqr_solve(matvec, rmatvec, bb, N, niter=niter, rmin=0.0)
 
-    # Warm-up / compile.
-    res = solve(bb)
-    jax.block_until_ready(res)
+    # Warm-up / compile. NOTE: on the tunneled axon backend
+    # block_until_ready can return before remote execution completes, so all
+    # timing fences use an explicit host fetch of a result scalar.
+    t_comp = time.time()
+    res = solve(S, bb)
+    _ = float(res.r)
+    _log(f"[bench] compile + first solve in {time.time() - t_comp:.1f}s")
 
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        res = solve(bb)
-        jax.block_until_ready(res)
+        res = solve(S, bb)
+        _ = float(res.r)  # host fetch = completion fence
     dt = (time.time() - t0) / reps
 
     iters = int(res.iters)

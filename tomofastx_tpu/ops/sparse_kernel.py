@@ -1,0 +1,129 @@
+"""Packed top-k sparse sensitivity representation (hybrid layout).
+
+The wavelet-compressed kernel keeps ~rate*N coefficients per row
+(sensitivity_gravmag.F90:237-272). The dense representation stores the
+zeros and wastes (1-rate) of HBM bandwidth on every matvec. This module
+packs the kernel into a TPU-friendly *structured* sparsity instead of the
+reference's CPU-cache CSR (sparse_matrix.f90):
+
+- ``S @ x``: fixed-width row packing (nrows, K) value/index planes; the
+  matvec is a vector gather + reduction.
+- ``S^T @ u``: the column-population histogram of a wavelet kernel is
+  heavy-tailed — coarse-scale coefficients are kept by nearly every row
+  (that histogram is exactly the reference's per-cell nnz load-balancing
+  input, sensitivity_gravmag.F90:378-392). A fixed-width column packing
+  would degenerate to dense, and a scatter-add adjoint serializes on TPU.
+  So columns are split: *heavy* columns (population > cap) form a small
+  dense block handled by a plain transposed GEMV; *light* columns are
+  packed fixed-width and handled by a second gather. Both adjoint paths are
+  gathers with unique output indices — no scatters anywhere.
+
+Memory: nnz*(4+4) bytes for the row pack + light-col pack + the small dense
+block, vs 4*nrows*ncols dense; matvec traffic drops by ~2-3x at rate 0.15.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class PackedKernel:
+    """Hybrid packed sparse matrix (nrows x ncols)."""
+
+    # Row layout: all entries.
+    row_vals: jax.Array  # (nrows, K)
+    row_idx: jax.Array  # (nrows, K) int32; padding points at column 0 with val 0
+    # Adjoint layout.
+    dense_cols: jax.Array  # (n_dense,) int32 column ids
+    dense_block: jax.Array  # (nrows, n_dense) dense values of heavy columns
+    light_cols: jax.Array  # (n_light,) int32 column ids
+    light_vals: jax.Array  # (n_light, KT)
+    light_idx: jax.Array  # (n_light, KT) int32 row ids; padding -> row 0, val 0
+    nrows: int
+    ncols: int
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return jnp.einsum("rk,rk->r", self.row_vals, x[self.row_idx])
+
+    def rmatvec(self, u: jax.Array) -> jax.Array:
+        g = jnp.zeros((self.ncols,), u.dtype)
+        if self.dense_block.shape[1]:
+            g = g.at[self.dense_cols].set(
+                (u @ self.dense_block.astype(u.dtype))
+            )
+        if self.light_vals.shape[0]:
+            contrib = jnp.einsum("ck,ck->c", self.light_vals, u[self.light_idx])
+            g = g.at[self.light_cols].set(contrib)
+        return g
+
+    @property
+    def nbytes(self) -> int:
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (self.row_vals, self.row_idx, self.dense_block, self.light_vals, self.light_idx)
+        )
+
+
+def pack_dense(
+    S: np.ndarray,
+    pad_multiple: int = 8,
+    dtype=np.float32,
+    col_cap_factor: float = 4.0,
+) -> PackedKernel:
+    """Pack a dense (nrows, ncols) matrix with structured zeros.
+
+    Heavy columns (population > col_cap_factor * mean) go to the dense
+    block; the rest are packed fixed-width."""
+    S = np.asarray(S)
+    nrows, ncols = S.shape
+    mask = S != 0.0
+    nnz = int(mask.sum())
+
+    def pad_to(n):
+        return max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
+
+    # ---- row packing ----
+    row_counts = mask.sum(axis=1)
+    K = pad_to(int(row_counts.max()) if nrows else 1)
+    row_vals = np.zeros((nrows, K), dtype)
+    row_idx = np.zeros((nrows, K), np.int32)
+    for r in range(nrows):
+        cols = np.nonzero(mask[r])[0]
+        row_vals[r, : cols.size] = S[r, cols]
+        row_idx[r, : cols.size] = cols
+
+    # ---- adjoint layout ----
+    col_counts = mask.sum(axis=0)
+    mean_pop = max(nnz / max(ncols, 1), 1.0)
+    cap = col_cap_factor * mean_pop
+    heavy = np.nonzero(col_counts > cap)[0]
+    light = np.nonzero((col_counts <= cap) & (col_counts > 0))[0]
+
+    dense_block = np.ascontiguousarray(S[:, heavy].astype(dtype))
+
+    KT = pad_to(int(col_counts[light].max()) if light.size else 1)
+    light_vals = np.zeros((light.size, KT), dtype)
+    light_idx = np.zeros((light.size, KT), np.int32)
+    ST = S.T
+    for li, c in enumerate(light):
+        rows = np.nonzero(mask[:, c])[0]
+        light_vals[li, : rows.size] = ST[c, rows]
+        light_idx[li, : rows.size] = rows
+
+    return PackedKernel(
+        row_vals=jnp.asarray(row_vals),
+        row_idx=jnp.asarray(row_idx),
+        dense_cols=jnp.asarray(heavy.astype(np.int32)),
+        dense_block=jnp.asarray(dense_block),
+        light_cols=jnp.asarray(light.astype(np.int32)),
+        light_vals=jnp.asarray(light_vals),
+        light_idx=jnp.asarray(light_idx),
+        nrows=nrows,
+        ncols=ncols,
+    )
