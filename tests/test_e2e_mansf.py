@@ -97,3 +97,22 @@ def test_sensit_cache_reusable(mansf_result, tmp_path):
     np.testing.assert_allclose(
         res2.models[0].val, res3.models[0].val, rtol=0, atol=1e-8
     )
+
+
+def test_packed_kernel_matches_dense(mansf_result, tmp_path):
+    """tpu.kernelFormat = packed must reproduce the dense solve."""
+    cfg, res, out = mansf_result
+    cfg2 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg2.path_output = str(tmp_path) + "/"
+    cfg2.inversion.ninversions = 3
+    cfg2.grav.kernel_format = "packed"
+    cfg2.magn.kernel_format = "packed"
+    res2 = solve_problem_joint_gravmag(cfg2, base_dir=REF, verbose=False)
+
+    cfg3 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg3.path_output = str(tmp_path) + "_dense/"
+    cfg3.inversion.ninversions = 3
+    res3 = solve_problem_joint_gravmag(cfg3, base_dir=REF, verbose=False)
+
+    # Same operator, different summation order: agreement to solver tolerance.
+    np.testing.assert_allclose(res2.models[0].val, res3.models[0].val, atol=2e-6)

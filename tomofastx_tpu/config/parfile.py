@@ -80,6 +80,9 @@ class GravParams:
     start_model_file: str = "None"
     # Output.
     vtk_model_label: str = "rho"
+    # TPU extension: solver-side kernel representation
+    # ("dense" = MXU matmul; "packed" = top-k gather layout; "auto").
+    kernel_format: str = "dense"
 
     @property
     def nelements_total(self) -> int:
@@ -474,6 +477,8 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         inv.clustering_opt_type = ival(val)
     elif K == "inversion.clustering.constraintsType":
         inv.clustering_constraints_type = ival(val)
+    elif K == "tpu.kernelFormat":
+        g.kernel_format = m.kernel_format = sval(val)
     elif K == "output.paraview.grav.modelLabel":
         g.vtk_model_label = sval(val)
     elif K == "output.paraview.magn.modelLabel":

@@ -288,7 +288,7 @@ def make_solver(spec: SystemSpec):
             parts = []
             for a, i in enumerate(spec.active):
                 xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
-                parts.append(S[a] @ xw)
+                parts.append(S[a].matvec(xw))
             for a, i in enumerate(spec.active):
                 if a in damping_ops:
                     parts.append(damping_ops[a].matvec(segs[a]))
@@ -313,7 +313,7 @@ def make_solver(spec: SystemSpec):
             pos = 0
             for a, i in enumerate(spec.active):
                 rows = spec.ndata_rows[a]
-                g = S[a].T @ u[pos : pos + rows]
+                g = S[a].rmatvec(u[pos : pos + rows])
                 if wconv:
                     g = _from_solver(spec, g)
                 out[a] = out[a] + g.reshape(spec.ncomp, spec.N)
@@ -354,7 +354,7 @@ def make_solver(spec: SystemSpec):
             parts = []
             for a, i in enumerate(spec.active):
                 xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
-                parts.append(S[a] @ xw)
+                parts.append(S[a].matvec(xw))
             Sx = jnp.concatenate(parts)
             return jnp.sqrt(jnp.sum((Sx - b0_data) ** 2) / ndata_total)
 

@@ -225,6 +225,24 @@ def solve_problem_joint_gravmag(
         # Cast once to the solver dtype for the LSQR matvecs.
         ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
 
+    def _kernel_operator(ctx):
+        """Solver-side operator: dense MXU matmul, or the packed top-k
+        gather layout when requested and the kernel is actually sparse."""
+        from tomofastx_tpu.ops.sparse_kernel import DenseKernel, pack_dense
+
+        par = ctx.par
+        fmt = getattr(par, "kernel_format", "dense")
+        if fmt == "auto":
+            fmt = "packed" if par.compression_type > 0 else "dense"
+        if fmt == "packed" and par.compression_type > 0:
+            pk = pack_dense(np.asarray(ctx.kernel.S))
+            log(
+                f"  packed kernel: {pk.nbytes / 1e6:.1f} MB vs dense "
+                f"{np.asarray(ctx.kernel.S).nbytes / 1e6:.1f} MB"
+            )
+            return pk
+        return DenseKernel(ctx.kernel.S)
+
     # ---- ADMM bounds ----
     if ipar.admm_type > 0:
         for i, ctx in ctxs.items():
@@ -315,7 +333,7 @@ def solve_problem_joint_gravmag(
 
     # Static per-run arrays.
     static_arrays = {
-        "S": tuple(ctxs[i].kernel.S for i in active),
+        "S": tuple(_kernel_operator(ctxs[i]) for i in active),
         "cw": tuple(jnp.asarray(ctxs[i].column_weight, solve_dtype) for i in active),
         "dX": jnp.asarray(g0.dX(), solve_dtype),
         "dY": jnp.asarray(g0.dY(), solve_dtype),

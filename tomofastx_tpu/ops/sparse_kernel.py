@@ -127,3 +127,53 @@ def pack_dense(
         nrows=nrows,
         ncols=ncols,
     )
+
+
+# Register PackedKernel as a pytree so it can flow through jit boundaries.
+def _pk_flatten(pk: PackedKernel):
+    children = (
+        pk.row_vals, pk.row_idx, pk.dense_cols, pk.dense_block,
+        pk.light_cols, pk.light_vals, pk.light_idx,
+    )
+    aux = (pk.nrows, pk.ncols)
+    return children, aux
+
+
+def _pk_unflatten(aux, children):
+    nrows, ncols = aux
+    return PackedKernel(*children, nrows=nrows, ncols=ncols)
+
+
+jax.tree_util.register_pytree_node(PackedKernel, _pk_flatten, _pk_unflatten)
+
+
+@dataclass
+class DenseKernel:
+    """Trivial dense counterpart with the same operator interface."""
+
+    S: jax.Array  # (nrows, ncols)
+
+    def matvec(self, x):
+        return self.S @ x
+
+    def rmatvec(self, u):
+        return self.S.T @ u
+
+    @property
+    def nrows(self):
+        return self.S.shape[0]
+
+    @property
+    def ncols(self):
+        return self.S.shape[1]
+
+
+def _dk_flatten(dk: DenseKernel):
+    return (dk.S,), None
+
+
+def _dk_unflatten(aux, children):
+    return DenseKernel(children[0])
+
+
+jax.tree_util.register_pytree_node(DenseKernel, _dk_flatten, _dk_unflatten)

@@ -57,7 +57,17 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
         return tuple(put(x, spec) for x in t)
 
     out = dict(arrays)
-    out["S"] = put_tuple(arrays["S"], P(None, CELLS_AXIS))
+
+    def put_kernel(k):
+        from tomofastx_tpu.ops.sparse_kernel import DenseKernel
+
+        if isinstance(k, DenseKernel):
+            return DenseKernel(put(k.S, P(None, CELLS_AXIS)))
+        # Packed kernels keep compiler-chosen layouts (their gather indices
+        # are global); replicate for now.
+        return jax.device_put(k, NamedSharding(mesh, P()))
+
+    out["S"] = tuple(put_kernel(k) for k in arrays["S"])
     out["cw"] = put_tuple(arrays["cw"], P(CELLS_AXIS))
     out["model"] = put_tuple(arrays["model"], P(None, CELLS_AXIS))
     out["prior"] = put_tuple(arrays["prior"], P(None, CELLS_AXIS))
