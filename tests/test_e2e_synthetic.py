@@ -1,0 +1,229 @@
+"""Synthetic end-to-end tests for capability paths without shipped fixtures:
+magnetization-vector inversion (3 model components), FTG gradiometry (Gzz
+and full tensor), clustering constraints, multiple prior models, data-error
+weighting, elevation-space (z up) inputs, and the stop file."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.util_fixtures import (
+    make_base_config,
+    surface_data_points,
+    write_data_grid_file,
+    write_values_file,
+)
+from tomofastx_tpu.config.parfile import GRAV, MAGN
+from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+NX, NY, NZ = 6, 6, 4
+N = NX * NY * NZ
+
+
+def _synthetic_block_model(value=100.0, ncomp=1):
+    """A dense block in the middle of the grid."""
+    m = np.zeros((NZ, NY, NX, ncomp))
+    m[1:3, 2:4, 2:4, :] = value
+    return m.reshape(-1, ncomp)
+
+
+def test_magnetization_vector_inversion(tmp_path):
+    """nModelComponents = 3 (Mx, My, Mz) with TMI data and ADMM bounds on Mz
+    (the 2-body remanent workflow, Parfile_2body_remanent.txt)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36, problem="magn")
+    cfg.magn.nmodel_components = 3
+    cfg.inversion.nmodel_components = 3
+    synth = os.path.join(tmp, "synth3.txt")
+    write_values_file(synth, _synthetic_block_model(2.0, ncomp=3))
+    cfg.magn.use_synthetic_model = 1
+    cfg.magn.synthetic_model_file = synth
+    cfg.inversion.alpha = (1e-11, 1e-8)
+    cfg.inversion.admm_type = 1
+    cfg.inversion.nlithos = 1
+    cfg.inversion.admm_bounds = (None, [-5.0, 5.0])
+    cfg.inversion.ninversions = 4
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[MAGN] < 0.3
+    assert res.models[MAGN].val.shape == (3, N)
+    assert np.all(np.isfinite(res.models[MAGN].val))
+
+
+def test_ftg_gzz_inversion(tmp_path):
+    """Gravity gradiometry, Gzz only (forward.data.grav.type = 2)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    cfg.grav.data_type = 2
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[GRAV] < 0.2
+
+
+def test_ftg_full_tensor_inversion(tmp_path):
+    """Full 6-component FTG tensor (nDataComponents = 6)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=18)
+    # Rewrite the data file with 6 value columns.
+    X, Y, Z = surface_data_points(NX, NY)
+    idx = np.linspace(0, len(X) - 1, 18).astype(int)
+    write_data_grid_file(data_path, X[idx], Y[idx], Z[idx], ncomponents=6)
+    cfg.grav.data_type = 2
+    cfg.grav.ndata_components = 6
+    cfg.inversion.ndata_components = (6, 1)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.data[GRAV].val_calc.shape == (18, 6)
+    assert res.cost_data[GRAV] < 0.2
+
+
+def test_clustering_constraints(tmp_path):
+    """Joint grav+mag inversion with a 2-cluster petrophysical prior."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    cfg.magn.model_grid_file = grid_path
+    cfg.magn.ndata = 36
+    cfg.magn.data_grid_file = data_path
+    cfg.inversion.ndata = (36, 36)
+    cfg.inversion.problem_weight = (1.0, 1.0e-3)
+
+    synth_g = os.path.join(tmp, "sg.txt")
+    synth_m = os.path.join(tmp, "sm.txt")
+    write_values_file(synth_g, _synthetic_block_model(300.0))
+    write_values_file(synth_m, _synthetic_block_model(0.05))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth_g
+    cfg.magn.use_synthetic_model = 1
+    cfg.magn.synthetic_model_file = synth_m
+
+    mixture = os.path.join(tmp, "mixture.txt")
+    with open(mixture, "w") as f:
+        f.write("2\n")
+        # weight mu1 sigma11 mu2 sigma22 sigma12
+        f.write("0.5 0.0 20.0 0.0 0.01 0.0\n")
+        f.write("0.5 300.0 20.0 0.05 0.01 0.0\n")
+    cfg.inversion.clustering_weight_glob = (1e-4, 1e-4)
+    cfg.inversion.nclusters = 2
+    cfg.inversion.mixture_file = mixture
+    cfg.inversion.clustering_constraints_type = 1  # global weights
+    cfg.inversion.clustering_opt_type = 2
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert np.all(np.isfinite(res.models[GRAV].val))
+    out = cfg.path_output
+    assert os.path.exists(os.path.join(out, "Paraview/clustering_final_model3D_full.vtk"))
+    # costs.txt records clustering costs in columns 19-20.
+    lines = open(os.path.join(out, "costs.txt")).read().splitlines()
+    row = lines[2].split()
+    assert float(row[18]) > 0.0
+
+
+def test_multiple_prior_models(tmp_path):
+    """inversion.priorModel.nModels = 2 creates the _2 output folder
+    (problem_joint_gravmag.F90:374-391)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    prior1 = os.path.join(tmp, "prior.txt")
+    prior2 = os.path.join(tmp, "prior.txt_2")
+    write_values_file(prior1, np.zeros((N, 1)))
+    write_values_file(prior2, np.full((N, 1), 10.0))
+    cfg.grav.prior_model_type = 2
+    cfg.grav.prior_model_file = prior1
+    cfg.grav.number_prior_models = 2
+    cfg.inversion.ninversions = 2
+
+    solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert os.path.exists(os.path.join(cfg.path_output, "costs.txt"))
+    assert os.path.exists(cfg.path_output.rstrip("/") + "_2/costs.txt")
+
+
+def test_data_error_weighting(tmp_path):
+    """forward.data.*.useError = 1 bakes 1/sigma into residuals and kernel."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    err = os.path.join(tmp, "err.txt")
+    with open(err, "w") as f:
+        f.write("36\n")
+        for _ in range(36):
+            f.write("1.0e-6\n")
+    cfg.grav.use_data_error = 1
+    cfg.grav.data_error_file = err
+    cfg.inversion.ninversions = 2
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert np.all(res.data[GRAV].weight == 1e6)
+    assert res.cost_data[GRAV] < 0.5
+
+
+def test_elevation_space_z_up(tmp_path):
+    """global.zAxisDirection = -1: grids and data are given in elevation
+    space and flipped on input (model_IO.F90:226-232,
+    data_gravmag.f90:186-189)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+
+    # Rewrite grid + data in elevation space (z up: depths negated and
+    # corner order swapped).
+    from tests.util_fixtures import write_grid_file
+
+    with open(grid_path) as f:
+        lines = f.read().splitlines()
+    with open(grid_path, "w") as f:
+        f.write(lines[0] + "\n")
+        for ln in lines[1:]:
+            t = ln.split()
+            x1, x2, y1, y2, z1, z2 = (float(v) for v in t[:6])
+            f.write(f"{x1} {x2} {y1} {y2} {-z2} {-z1} {t[6]} {t[7]} {t[8]}\n")
+    X, Y, Z = surface_data_points(NX, NY)
+    idx = np.linspace(0, len(X) - 1, 36).astype(int)
+    write_data_grid_file(data_path, X[idx], Y[idx], -Z[idx])  # z up
+
+    cfg.grav.z_axis_dir = -1
+    cfg.magn.z_axis_dir = -1
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 2
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[GRAV] < 0.5
+
+
+def test_stop_file(tmp_path, monkeypatch):
+    """A 'stop' file in the base dir exits the major loop
+    (problem_joint_gravmag.F90:476-479, 680-700)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 50
+    with open(os.path.join(tmp, "stop"), "w") as f:
+        f.write("")
+
+    # Absolute fixture paths resolve identically through os.path.join, so
+    # base_dir only controls where the stop file is looked up.
+    res = solve_problem_joint_gravmag(cfg, base_dir=tmp, verbose=False)
+    assert len(res.costs_history) == 0  # loop exited before iteration 1
