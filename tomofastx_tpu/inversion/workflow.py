@@ -41,7 +41,8 @@ class ProblemContext:
     model: ModelState = None
     data: SurveyData = None
     column_weight: np.ndarray = None
-    kernel: object = None  # weighted SensitKernel
+    kernel: object = None  # weighted SensitKernel (None in matrix-free mode)
+    operator: object = None  # matrix-free operator when kernel is None
     residuals: np.ndarray = None
 
 
@@ -103,12 +104,22 @@ def _data_write(ctx: ProblemContext, out_dir, name, which):
 
 
 def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
-    """d_calc = S m through the stored weighted kernel (model.F90:220-307)."""
+    """d_calc = S m through the stored weighted kernel (model.F90:220-307),
+    or through the matrix-free operator."""
+    pw = cfg.inversion.problem_weight[ctx.index]
+    if ctx.kernel is None:
+        cw = ctx.column_weight
+        m = np.asarray(ctx.model.val).reshape(-1)
+        x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0)
+        d = np.asarray(ctx.operator.matvec(jnp.asarray(x, solve_dtype)))
+        d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
+        ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
+        return
     ctx.data.val_calc = sens.calculate_data(
         ctx.kernel,
         ctx.model.val,
         ctx.column_weight,
-        cfg.inversion.problem_weight[ctx.index],
+        pw,
         ctx.data.weight,
         solve_dtype,
     )
@@ -201,6 +212,19 @@ def solve_problem_joint_gravmag(
             if par.sensit_read == 2:
                 pass  # weight read; kernel recomputed below
 
+        if getattr(par, "kernel_format", "dense") == "matrixfree":
+            # No stored kernel: the operator regenerates rows per matvec
+            # (see ops/matrixfree.py).
+            from tomofastx_tpu.ops.matrixfree import make_matrixfree_kernel
+
+            ctx.kernel = None
+            ctx.operator = make_matrixfree_kernel(
+                par, ctx.model.grid, ctx.data, ctx.column_weight,
+                ipar.problem_weight[i], ctx.data.weight, solve_dtype,
+            )
+            log(f"  {PROBLEM_PREFIX[i]} kernel: matrix-free (no storage)")
+            continue
+
         kernel = None
         if par.sensit_read == 1:
             kernel = try_read_kernel_cache(os.path.join(base_dir, par.sensit_path), par, ctx.model.grid)
@@ -226,10 +250,12 @@ def solve_problem_joint_gravmag(
         ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
 
     def _kernel_operator(ctx):
-        """Solver-side operator: dense MXU matmul, or the packed top-k
-        gather layout when requested and the kernel is actually sparse."""
+        """Solver-side operator: dense MXU matmul, the packed top-k gather
+        layout, or the matrix-free row-regenerating operator."""
         from tomofastx_tpu.ops.sparse_kernel import DenseKernel, pack_dense
 
+        if ctx.operator is not None:
+            return ctx.operator
         par = ctx.par
         fmt = getattr(par, "kernel_format", "dense")
         if fmt == "auto":
