@@ -29,6 +29,11 @@ def main(argv=None):
         help="solver precision (default: double on CPU, single on TPU)",
     )
     parser.add_argument("--platform", default=None, help="force a JAX platform (cpu/tpu)")
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR (view with "
+        "tensorboard or xprof)",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -44,8 +49,12 @@ def main(argv=None):
         backend_is_tpu = False
 
     precision = args.precision or ("single" if backend_is_tpu else "double")
-    if precision == "double":
-        jax.config.update("jax_enable_x64", True)
+    # x64 is always enabled: even in single (f32-solve) mode the sensitivity
+    # kernel is computed in f64 and rounded to f32 storage, matching the
+    # reference's precision policy (global_typedefs.F90:37-45). An f32-built
+    # kernel measurably degrades inversion quality (cancellation in the
+    # prism closed forms).
+    jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 
@@ -63,11 +72,18 @@ def main(argv=None):
     except shutil.SameFileError:
         pass
 
-    dtype = jnp.float64 if precision == "double" else jnp.float32
-    solve_problem_joint_gravmag(
-        cfg, base_dir=args.base_dir, solve_dtype=dtype, compute_dtype=dtype,
-        verbose=not args.quiet,
+    solve_dtype = jnp.float64 if precision == "double" else jnp.float32
+
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
     )
+    with profile_cm:
+        solve_problem_joint_gravmag(
+            cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
+            verbose=not args.quiet,
+        )
     print("THE END.")
     return 0
 

@@ -155,7 +155,10 @@ def solve_problem_joint_gravmag(
     if solve_dtype is None:
         solve_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if compute_dtype is None:
-        compute_dtype = solve_dtype
+        # Kernel build wants f64 whenever available (reference computes in
+        # double and stores single, global_typedefs.F90:37-45); an f32 build
+        # suffers cancellation in the prism integrals.
+        compute_dtype = jnp.float64 if jax.config.jax_enable_x64 else solve_dtype
 
     def log(*a):
         if verbose:
@@ -268,6 +271,12 @@ def solve_problem_joint_gravmag(
             )
             return pk
         return DenseKernel(ctx.kernel.S)
+
+    # Memory checkpoint after the forward phase (reference prints Pss here,
+    # sensitivity_gravmag.F90:394-398).
+    from tomofastx_tpu.utils.memory import report as memory_report
+
+    log(memory_report("(forward) "))
 
     # ---- ADMM bounds ----
     if ipar.admm_type > 0:
@@ -584,6 +593,7 @@ def solve_problem_joint_gravmag(
     result.data = {i: ctxs[i].data for i in active}
     result.cost_data = cost_data
     result.cost_model = cost_model
+    log(memory_report("(end) "))
     log(f"THE END. total time = {time.time() - t_start:.2f}s")
     return result
 
