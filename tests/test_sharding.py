@@ -63,3 +63,25 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sharded_workflow_matches_unsharded(tmp_path):
+    """Full Mansfield-style workflow on the 8-device mesh == single device."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/plain/"
+    cfg.inversion.ninversions = 2
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg.path_output = str(tmp_path) + "/mesh/"
+    mesh = make_mesh(8)
+    res_mesh = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False, mesh=mesh)
+
+    np.testing.assert_allclose(
+        res_mesh.models[0].val, res_plain.models[0].val, rtol=1e-8, atol=1e-8
+    )

@@ -34,6 +34,10 @@ def main(argv=None):
         help="capture a jax.profiler trace of the run into DIR (view with "
         "tensorboard or xprof)",
     )
+    parser.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="shard the solve over N devices along the cells axis (0 = no mesh)",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -79,10 +83,16 @@ def main(argv=None):
     profile_cm = (
         jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
     )
+    mesh = None
+    if args.mesh:
+        from tomofastx_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+
     with profile_cm:
         solve_problem_joint_gravmag(
             cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
-            verbose=not args.quiet,
+            verbose=not args.quiet, mesh=mesh,
         )
     print("THE END.")
     return 0

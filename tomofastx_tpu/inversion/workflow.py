@@ -148,8 +148,13 @@ def solve_problem_joint_gravmag(
     solve_dtype=None,
     compute_dtype=None,
     verbose: bool = True,
+    mesh=None,
 ) -> WorkflowResult:
-    """Run the full inversion described by a Parfile configuration."""
+    """Run the full inversion described by a Parfile configuration.
+
+    mesh: optional jax.sharding.Mesh with a 'cells' axis; when given, the
+    solver arrays are placed with the cells-sharded layout
+    (parallel/mesh.py) and the jitted solve runs SPMD across the mesh."""
     import jax
 
     if solve_dtype is None:
@@ -365,6 +370,14 @@ def solve_problem_joint_gravmag(
     )
     log(f"WAVELET_DOMAIN = {spec.wavelet_domain}")
     solver = make_solver(spec)
+    if mesh is not None:
+        from tomofastx_tpu.parallel.mesh import shard_system_arrays
+
+        base_solver = solver
+
+        def solver(arrays):
+            with mesh:
+                return base_solver(shard_system_arrays(arrays, mesh))
 
     # Static per-run arrays.
     static_arrays = {
