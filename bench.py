@@ -29,6 +29,12 @@ def _log(msg):
 
 def main():
     import jax
+
+    # Persistent compilation cache: the LSQR while-loop compile costs
+    # minutes over a tunneled TPU; cache it across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from tomofastx_tpu.ops.lsqr import lsqr_solve

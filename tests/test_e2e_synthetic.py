@@ -227,3 +227,97 @@ def test_stop_file(tmp_path, monkeypatch):
     # base_dir only controls where the stop file is looked up.
     res = solve_problem_joint_gravmag(cfg, base_dir=tmp, verbose=False)
     assert len(res.costs_history) == 0  # loop exited before iteration 1
+
+
+def test_magnetic_three_component_data(tmp_path):
+    """ndata_components = 3 magnetic data (Bx, By, Bz)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=18, problem="magn")
+    X, Y, Z = surface_data_points(NX, NY)
+    idx = np.linspace(0, len(X) - 1, 18).astype(int)
+    write_data_grid_file(data_path, X[idx], Y[idx], Z[idx], ncomponents=3)
+    cfg.magn.ndata_components = 3
+    cfg.inversion.ndata_components = (1, 3)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(0.05))
+    cfg.magn.use_synthetic_model = 1
+    cfg.magn.synthetic_model_file = synth
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.data[MAGN].val_calc.shape == (18, 3)
+    assert res.cost_data[MAGN] < 0.2
+
+
+def test_admm_local_bounds_file(tmp_path):
+    """inversion.admm.boundType = 2: per-cell bounds + weights from file
+    (model_IO.F90:312-380); also forces WAVELET_DOMAIN = False."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+
+    bounds = os.path.join(tmp, "bounds.txt")
+    with open(bounds, "w") as f:
+        f.write(f"{N} 2\n")
+        for _ in range(N):
+            f.write("-10. 10. 280. 320. 1.0\n")
+    cfg.inversion.admm_type = 1
+    cfg.inversion.admm_bound_type = 2
+    cfg.inversion.nlithos = 2
+    cfg.inversion.bounds_ADMM_file = (bounds, "None")
+    cfg.inversion.rho_ADMM = (1e-5, 1e5)
+    cfg.grav.compression_type = 1
+    cfg.magn.compression_type = 1
+    cfg.inversion.compression_type = 1
+    cfg.grav.compression_rate = 0.4
+    cfg.inversion.ninversions = 6
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    m = res.models[GRAV].val[0]
+    dist = np.minimum(
+        np.maximum(np.maximum(-10 - m, m - 10), 0),
+        np.maximum(np.maximum(280 - m, m - 320), 0),
+    )
+    assert np.quantile(dist, 0.9) < 60.0
+
+
+def test_admm_dynamic_weight_adjustment(tmp_path):
+    """weightMultiplier > 1 grows rho once the data cost crosses the
+    threshold (problem_joint_gravmag.F90:618-638)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.admm_type = 1
+    cfg.inversion.nlithos = 1
+    cfg.inversion.admm_bounds = ([-400.0, 400.0], None)
+    cfg.inversion.rho_ADMM = (1e-7, 1e5)
+    cfg.inversion.weight_multiplier_ADMM = 10.0
+    cfg.inversion.data_cost_threshold_ADMM = 1.0  # always triggers
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    lines = open(os.path.join(cfg.path_output, "costs.txt")).read().splitlines()
+    rho_col = [float(l.split()[7]) for l in lines[1:-1]]
+    assert rho_col[-1] > rho_col[0]  # grew by the multiplier
+
+
+def test_lp_norm_damping_e2e(tmp_path):
+    """inversion.modelDamping.normPower = 1 exercises the Lp reweighting."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.alpha = (1e-6, 1e-8)
+    cfg.inversion.norm_power = 1.0
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[GRAV] < 0.5

@@ -291,3 +291,31 @@ def test_admm_tie_breaking_first_candidate():
     x = jnp.asarray([2.5])  # equidistant from 1.0 (max1) and 4.0 (min2)
     z, _, _ = admm_iterate(jnp.zeros(1), jnp.zeros(1), x, min_b, max_b)
     assert float(z[0]) == 1.0
+
+
+def test_cross_gradient_vector_field_mode():
+    """vec_field_type = 1 replaces model1's gradient by the supplied field
+    (cross_gradient.F90:419-449)."""
+    dX, dY, dZ = _grids()
+    m1 = jnp.asarray(RNG.normal(size=N))
+    m2 = jnp.asarray(RNG.normal(size=N))
+    cw = jnp.ones(N)
+    vf = jnp.asarray(RNG.normal(size=(N, 3)))
+    op = ops.make_cross_gradient(
+        m1, m2, cw, cw, 1.0, 1, (0, 0), vf, 1, dX, dY, dZ, NX, NY, NZ
+    )
+    # tau must equal vf x grad(m2) with the per-cell scheme selection.
+    op_ref = ops.make_cross_gradient(
+        m1, m2, cw, cw, 1.0, 1, (0, 0), None, 0, dX, dY, dZ, NX, NY, NZ
+    )
+    # Different from the no-field operator (sanity that the flag acts).
+    assert not np.allclose(np.asarray(op.rhs), np.asarray(op_ref.rhs))
+    # Adjoint still consistent.
+    x1 = RNG.normal(size=N)
+    x2 = RNG.normal(size=N)
+    u = RNG.normal(size=3 * N)
+    Ax = np.asarray(op.matvec(jnp.asarray(x1).reshape(NZ, NY, NX), jnp.asarray(x2).reshape(NZ, NY, NX)))
+    g1, g2 = op.rmatvec(jnp.asarray(u))
+    assert abs(Ax @ u - (x1 @ np.asarray(g1).ravel() + x2 @ np.asarray(g2).ravel())) < 1e-9 * (
+        np.linalg.norm(Ax) * np.linalg.norm(u) + 1
+    )

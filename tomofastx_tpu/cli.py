@@ -46,6 +46,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    # Persistent compilation cache (compiles are expensive on remote TPUs).
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     backend_is_tpu = None
     try:
         backend_is_tpu = jax.default_backend() not in ("cpu",)
