@@ -38,6 +38,11 @@ def main(argv=None):
         "--mesh", type=int, default=0, metavar="N",
         help="shard the solve over N devices along the cells axis (0 = no mesh)",
     )
+    parser.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax_debug_nans (the reference's debug builds trap FP "
+        "exceptions, Makefile:54)",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -49,6 +54,9 @@ def main(argv=None):
     # Persistent compilation cache (compiles are expensive on remote TPUs).
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     backend_is_tpu = None
     try:
@@ -72,8 +80,9 @@ def main(argv=None):
     cfg = read_parfile(args.parfile)
 
     # Copy the Parfile into the output folder for provenance
-    # (parameters_init.f90:144-148).
-    out_dir = os.path.join(args.base_dir, cfg.path_output)
+    # (parameters_init.f90:144-148). Output paths are relative to the
+    # current directory, like the reference binary.
+    out_dir = cfg.path_output
     os.makedirs(out_dir, exist_ok=True)
     try:
         shutil.copy(args.parfile, os.path.join(out_dir, "Parfile_run.txt"))

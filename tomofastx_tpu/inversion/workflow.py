@@ -56,7 +56,10 @@ class WorkflowResult:
 
 
 def _mkoutdir(cfg: Config, base_dir: str) -> str:
-    out = os.path.join(base_dir, cfg.path_output)
+    # Outputs resolve against the CURRENT directory, like the reference
+    # binary; base_dir only anchors the *input* paths. (Otherwise a
+    # read-only data tree would receive the output folder.)
+    out = cfg.path_output
     os.makedirs(out, exist_ok=True)
     return out
 
@@ -439,6 +442,12 @@ def solve_problem_joint_gravmag(
     base_out = out_dir
     rho_admm = list(ipar.rho_ADMM)
 
+    # ADMM dual state persists across the prior-models loop (the reference
+    # allocates z/u once in initialize2 and never resets them,
+    # joint_inverse_problem.F90:320, 352-355).
+    admm_z = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
+    admm_u = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
+
     for m in range(1, number_prior_models + 1):
         if m > 1:
             out_dir = base_out.rstrip("/") + f"_{m}/"
@@ -481,10 +490,6 @@ def solve_problem_joint_gravmag(
             cost_model[i] = _calculate_model_cost(ctx, ipar.norm_power)
             cost_data[i] = ctx.data.get_cost()
             log(f"data cost (initial) [{PROBLEM_PREFIX[i]}] = {cost_data[i]}")
-
-        # ADMM state.
-        admm_z = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
-        admm_u = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
 
         costs_path = os.path.join(out_dir, "costs.txt")
         costs_f = open(costs_path, "w")
