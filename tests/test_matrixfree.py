@@ -26,20 +26,40 @@ def _setup(tmp_path, problem="grav", data_type=1):
     return par, grid, data, cw
 
 
-@pytest.mark.parametrize("problem,data_type", [("grav", 1), ("grav", 2), ("magn", 1)])
-def test_matrixfree_equals_dense(tmp_path, problem, data_type):
+@pytest.mark.parametrize(
+    "problem,data_type,nmc,ndc",
+    [
+        ("grav", 1, 1, 1),
+        ("grav", 2, 1, 1),
+        ("grav", 2, 1, 6),
+        ("magn", 1, 1, 1),
+        ("magn", 1, 1, 3),
+        ("magn", 1, 3, 1),
+        ("magn", 1, 3, 3),
+    ],
+)
+def test_matrixfree_equals_dense(tmp_path, problem, data_type, nmc, ndc):
     par, grid, data, cw = _setup(tmp_path, problem, data_type)
-    pw = 1.0
-    dw = np.ones((20, 1))
+    par.nmodel_components = nmc
+    par.ndata_components = ndc
+    data.ncomponents = ndc
+    # Exactly f32-representable weights so the stored path's float32
+    # combined-weight rounding (sensitivity_gravmag.F90:837) is lossless and
+    # the two operators agree to f64 ulp.
+    pw = 1.25
+    dw = 1.0 + np.random.default_rng(3).integers(0, 256, size=(20, ndc)) / 256.0
 
     dense = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
     dense = sens.apply_row_weights(dense, pw, dw)
     mf = make_matrixfree_kernel(par, grid, data, cw, pw, dw, jnp.float64, chunk=8)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=N))
-    u = jnp.asarray(rng.normal(size=20))
+    x = jnp.asarray(rng.normal(size=nmc * N))
+    u = jnp.asarray(rng.normal(size=20 * ndc))
 
+    # The stored path rounds problem*data weights to float32 (reference:
+    # combined_weight is MATRIX_PRECISION, sensitivity_gravmag.F90:837);
+    # matrix-free applies them at solver precision -> f32-level agreement.
     np.testing.assert_allclose(
         np.asarray(mf.matvec(x)), np.asarray(dense.S.astype(jnp.float64) @ x), rtol=1e-10
     )

@@ -5,17 +5,20 @@ The reference's answer to kernel memory is wavelet compression + disk cache
 cannot afford: do not store the kernel at all. The closed-form prism
 integrals are a few hundred FLOPs per (data, cell) pair, embarrassingly
 parallel, and free of memory traffic — so for problems where even the
-packed kernel exceeds HBM, the matvec can regenerate its rows per tile.
+packed kernel exceeds HBM, the matvec regenerates its rows per data chunk.
 
-This trades the dense GEMV's ~800 GB/s bandwidth bound for a VPU
-transcendental-throughput bound; it is slower per iteration for kernels
-that fit in HBM, and the only option for kernels that do not. Select with
-``tpu.kernelFormat = matrixfree`` (requires compression off — compression
-exists to shrink storage, which this mode eliminates).
+This trades the dense GEMV's HBM bandwidth bound for a VPU transcendental
+bound; it is slower per iteration for kernels that fit in HBM and the only
+option for kernels that do not. Select with ``tpu.kernelFormat =
+matrixfree`` (requires compression off — compression exists to shrink
+storage, which this mode eliminates).
 
-Supported physics: gravity gz, gradiometry Gzz, magnetic TMI
-(susceptibility). Depth weighting (column weight) and the baked-in
-problem*data row weights are applied on the fly.
+All forward families are supported (gravity gz, FTG Gzz/full tensor,
+magnetic TMI / 3-component, susceptibility / magnetization vector), via the
+same physics dispatch as the stored-kernel builder
+(ops/sensitivity.py::_forward_rows). Depth weighting (column weight) and
+the baked-in problem*data row weights are applied on the fly
+(sensitivity_gravmag.F90:228, 836-843 semantics).
 """
 
 from __future__ import annotations
@@ -27,80 +30,97 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tomofastx_tpu.ops import prism
+
+@dataclass(frozen=True)
+class _Physics:
+    """Static physics description (hashable pytree aux data)."""
+
+    problem: str  # "grav" | "magn"
+    data_type: int  # gravity: 1 = g, 2 = gradiometry
+    nmc: int  # model components
+    ndc: int  # data components
+    magv: Tuple[float, float, float]
+    intensity: float
+    handle_inside: bool
 
 
-def _physics_fn(physics: str, magv, intensity):
-    if physics == "gravi_z":
-        return lambda x, y, z, g: prism.gravi_z(x, y, z, *g)
-    if physics == "gradi_zz":
-        return lambda x, y, z, g: prism.gradi_zz(x, y, z, *g)
-    if physics == "mag_tmi":
-        def tmi(x, y, z, g):
-            row = prism.magprism_row(
-                x, y, z, *g, magv, intensity,
-                nmodel_components=1, ndata_components=1, handle_inside=False,
-            )
-            return row[:, 0, 0]
+def _rows_for_point(phys: _Physics, grid6, x, y, z):
+    """(N, nmc, ndc) physics rows for one observation point."""
+    from tomofastx_tpu.ops import prism
 
-        return tmi
-    raise ValueError(f"Unsupported matrix-free physics '{physics}'")
+    if phys.problem == "magn":
+        return prism.magprism_row(
+            x, y, z, *grid6, phys.magv, phys.intensity,
+            nmodel_components=phys.nmc, ndata_components=phys.ndc,
+            handle_inside=phys.handle_inside,
+        )
+    if phys.data_type == 1:
+        return prism.gravi_z(x, y, z, *grid6)[:, None, None]
+    if phys.ndc == 1:
+        return prism.gradi_zz(x, y, z, *grid6)[:, None, None]
+    comps = prism.gradi_full(x, y, z, *grid6)
+    return jnp.stack(comps, axis=-1)[:, None, :]
 
 
 @dataclass
 class MatrixFreeKernel:
-    """Row-regenerating sensitivity operator (nrows x N)."""
+    """Row-regenerating sensitivity operator ((nrows*ndc) x (nmc*N))."""
 
     grid6: Tuple[jax.Array, ...]  # (X1, X2, Y1, Y2, Z1, Z2), each (N,)
     xd: jax.Array  # (nrows_padded,)
     yd: jax.Array
     zd: jax.Array
     cw: jax.Array  # (N,) column weight baked into rows
-    row_w: jax.Array  # (nrows_padded,) problem*data weights; 0 on padding
-    physics: str
+    row_w: jax.Array  # (nrows_padded, ndc) problem*data weights; 0 on padding
+    phys: _Physics
     chunk: int
-    nrows: int  # true row count (unpadded)
-    magv: Tuple[float, float, float] = (0.0, 0.0, 1.0)
-    intensity: float = 50000.0
+    nrows: int  # true data count (unpadded)
+
+    @property
+    def N(self) -> int:
+        return self.grid6[0].shape[0]
 
     @property
     def ncols(self) -> int:
-        return self.grid6[0].shape[0]
+        return self.phys.nmc * self.N
 
-    def _row_block(self, xs, ys, zs):
-        fn = _physics_fn(self.physics, self.magv, self.intensity)
-        return jax.vmap(lambda x, y, z: fn(x, y, z, self.grid6))(xs, ys, zs)
+    def _chunk_rows(self, xs, ys, zs):
+        return jax.vmap(lambda x, y, z: _rows_for_point(self.phys, self.grid6, x, y, z))(
+            xs, ys, zs
+        )  # (chunk, N, nmc, ndc)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        xw = self.cw * x
+        xw = (self.cw[None, :] * x.reshape(self.phys.nmc, self.N))  # (nmc, N)
+        nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
             xs, ys, zs, w = args
-            rows = self._row_block(xs, ys, zs)  # (chunk, N)
-            return w * (rows @ xw)
+            rows = self._chunk_rows(xs, ys, zs)
+            return w * jnp.einsum("bnkd,kn->bd", rows, xw)
 
-        nchunks = self.xd.shape[0] // self.chunk
         parts = jax.lax.map(
             per_chunk,
             (
                 self.xd.reshape(nchunks, self.chunk),
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
-                self.row_w.reshape(nchunks, self.chunk),
+                self.row_w.reshape(nchunks, self.chunk, -1),
             ),
         )
-        return parts.reshape(-1)[: self.nrows]
+        return parts.reshape(-1, self.phys.ndc)[: self.nrows].reshape(-1)
 
     def rmatvec(self, u: jax.Array) -> jax.Array:
-        u_pad = jnp.zeros_like(self.row_w).at[: self.nrows].set(u) * self.row_w
+        u2 = u.reshape(self.nrows, self.phys.ndc)
+        u_pad = jnp.zeros((self.xd.shape[0], self.phys.ndc), u.dtype).at[: self.nrows].set(u2)
+        u_pad = u_pad * self.row_w
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(g, args):
             xs, ys, zs, uc = args
-            rows = self._row_block(xs, ys, zs)  # (chunk, N)
-            return g + rows.T @ uc, None
+            rows = self._chunk_rows(xs, ys, zs)
+            return g + jnp.einsum("bnkd,bd->kn", rows, uc), None
 
-        g0 = jnp.zeros((self.ncols,), u.dtype)
+        g0 = jnp.zeros((self.phys.nmc, self.N), u.dtype)
         g, _ = jax.lax.scan(
             per_chunk,
             g0,
@@ -108,24 +128,24 @@ class MatrixFreeKernel:
                 self.xd.reshape(nchunks, self.chunk),
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
-                u_pad.reshape(nchunks, self.chunk),
+                u_pad.reshape(nchunks, self.chunk, -1),
             ),
         )
-        return self.cw * g
+        return (self.cw[None, :] * g).reshape(-1)
 
 
 def _mfk_flatten(k: MatrixFreeKernel):
     children = (k.grid6, k.xd, k.yd, k.zd, k.cw, k.row_w)
-    aux = (k.physics, k.chunk, k.nrows, k.magv, k.intensity)
+    aux = (k.phys, k.chunk, k.nrows)
     return children, aux
 
 
 def _mfk_unflatten(aux, children):
     grid6, xd, yd, zd, cw, row_w = children
-    physics, chunk, nrows, magv, intensity = aux
+    phys, chunk, nrows = aux
     return MatrixFreeKernel(
         grid6=grid6, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
-        physics=physics, chunk=chunk, nrows=nrows, magv=magv, intensity=intensity,
+        phys=phys, chunk=chunk, nrows=nrows,
     )
 
 
@@ -135,32 +155,38 @@ jax.tree_util.register_pytree_node(MatrixFreeKernel, _mfk_flatten, _mfk_unflatte
 def make_matrixfree_kernel(
     par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32, chunk=None
 ) -> MatrixFreeKernel:
-    """Build the operator from the problem description (no kernel storage).
-
-    Mirrors the supported single-component physics of
-    calculate_and_write_sensit (sensitivity_gravmag.F90:193-219)."""
+    """Build the operator from the problem description (no kernel storage)."""
     from tomofastx_tpu.config.parfile import MagParams
+    from tomofastx_tpu.ops import prism
 
     if par.compression_type > 0:
         raise ValueError("matrix-free mode requires forward.matrixCompression.type = 0")
-    if par.nmodel_components != 1 or par.ndata_components != 1:
-        raise ValueError("matrix-free mode supports 1 model and 1 data component")
 
     if isinstance(par, MagParams):
-        physics = "mag_tmi"
-        magv = prism.dircos(par.mi, par.md, par.theta)
-        intensity = par.intensity
-    elif par.data_type == 2:
-        physics = "gradi_zz"
-        magv, intensity = (0.0, 0.0, 1.0), 0.0
+        (xmin, xmax), (ymin, ymax), (zmin, zmax) = grid.bounds()
+        inside_any = bool(
+            np.any(
+                (data.X > xmin) & (data.X < xmax)
+                & (data.Y > ymin) & (data.Y < ymax)
+                & (data.Z > zmin) & (data.Z < zmax)
+            )
+        )
+        phys = _Physics(
+            problem="magn", data_type=1, nmc=par.nmodel_components,
+            ndc=par.ndata_components, magv=prism.dircos(par.mi, par.md, par.theta),
+            intensity=par.intensity, handle_inside=inside_any,
+        )
     else:
-        physics = "gravi_z"
-        magv, intensity = (0.0, 0.0, 1.0), 0.0
+        phys = _Physics(
+            problem="grav", data_type=par.data_type, nmc=1,
+            ndc=par.ndata_components, magv=(0.0, 0.0, 1.0), intensity=0.0,
+            handle_inside=False,
+        )
 
     N = grid.nelements_total
     nd = par.ndata
     if chunk is None:
-        chunk = max(8, min(256, (1 << 26) // max(N, 1)))
+        chunk = max(8, min(256, (1 << 26) // max(N * phys.nmc * phys.ndc, 1)))
     nd_pad = ((nd + chunk - 1) // chunk) * chunk
 
     # Padding rows must evaluate to finite numbers (a corner-touching
@@ -177,8 +203,8 @@ def make_matrixfree_kernel(
         out[:nd] = a
         return jnp.asarray(out, dtype)
 
-    row_w = np.zeros(nd_pad)
-    row_w[:nd] = problem_weight * np.asarray(data_weight).reshape(-1)
+    row_w = np.zeros((nd_pad, phys.ndc))
+    row_w[:nd] = problem_weight * np.asarray(data_weight).reshape(nd, phys.ndc)
 
     return MatrixFreeKernel(
         grid6=tuple(
@@ -190,9 +216,7 @@ def make_matrixfree_kernel(
         zd=pad(data.Z, far[2]),
         cw=jnp.asarray(column_weight, dtype),
         row_w=jnp.asarray(row_w, dtype),
-        physics=physics,
+        phys=phys,
         chunk=chunk,
         nrows=nd,
-        magv=magv,
-        intensity=intensity,
     )
