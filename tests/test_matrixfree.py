@@ -97,3 +97,28 @@ def test_matrixfree_e2e(tmp_path):
     np.testing.assert_allclose(
         res_mf.models[GRAV].val, res_d.models[GRAV].val, rtol=1e-4, atol=1e-3
     )
+
+
+def test_mixed_precision_build(tmp_path):
+    """near_field_f64 K-nearest patching: equals the full-f64 kernel for the
+    patched cells, f32-level elsewhere."""
+    par, grid, data, cw = _setup(tmp_path, "grav", 1)
+    k64 = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    kmx = sens.compute_sensitivity(
+        par, grid, data, cw, jnp.float32, jnp.float64, near_field_f64=16
+    )
+    S64 = np.asarray(k64.S)
+    Smx = np.asarray(kmx.S)
+    # Identify per-row nearest-16 cells and check exact agreement there.
+    xc = 0.5 * (grid.X1 + grid.X2)
+    yc = 0.5 * (grid.Y1 + grid.Y2)
+    zc = 0.5 * (grid.Z1 + grid.Z2)
+    for r in range(data.ndata):
+        d2 = (xc - data.X[r]) ** 2 + (yc - data.Y[r]) ** 2 + (zc - data.Z[r]) ** 2
+        # Distance ties at the cut make the exact top-16 set ambiguous; only
+        # cells strictly inside the cut are guaranteed patched.
+        cut = np.sort(d2)[15]
+        near = np.nonzero(d2 < cut)[0]
+        np.testing.assert_allclose(Smx[r, near], S64[r, near], rtol=1e-12)
+    # Everywhere: f32-level agreement.
+    np.testing.assert_allclose(Smx, S64, rtol=2e-5, atol=1e-18)

@@ -43,6 +43,11 @@ def main(argv=None):
         help="enable jax_debug_nans (the reference's debug builds trap FP "
         "exceptions, Makefile:54)",
     )
+    parser.add_argument(
+        "--fast-build", type=int, default=0, metavar="K",
+        help="mixed-precision kernel build: f32 rows + f64 recompute of the "
+        "K nearest cells per observation (fast on TPU, near-f64 quality)",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -105,7 +110,7 @@ def main(argv=None):
     with profile_cm:
         solve_problem_joint_gravmag(
             cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
-            verbose=not args.quiet, mesh=mesh,
+            verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
         )
     print("THE END.")
     return 0

@@ -152,12 +152,18 @@ def solve_problem_joint_gravmag(
     compute_dtype=None,
     verbose: bool = True,
     mesh=None,
+    near_field_f64: int = 0,
 ) -> WorkflowResult:
     """Run the full inversion described by a Parfile configuration.
 
     mesh: optional jax.sharding.Mesh with a 'cells' axis; when given, the
     solver arrays are placed with the cells-sharded layout
-    (parallel/mesh.py) and the jitted solve runs SPMD across the mesh."""
+    (parallel/mesh.py) and the jitted solve runs SPMD across the mesh.
+
+    near_field_f64 > 0 selects the fast mixed-precision kernel build:
+    f32 rows with an f64 recompute of the K nearest cells per observation
+    (see ops/sensitivity.py) — useful on TPUs where full-f64 builds are
+    emulated and slow."""
     import jax
 
     if solve_dtype is None:
@@ -244,9 +250,11 @@ def solve_problem_joint_gravmag(
         if kernel is None:
             log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel...")
             t0 = time.time()
+            build_dtype = jnp.float32 if near_field_f64 > 0 else compute_dtype
             kernel = sens.compute_sensitivity(
                 par, ctx.model.grid, ctx.data, ctx.column_weight,
-                compute_dtype=compute_dtype, store_dtype=jnp.float32,
+                compute_dtype=build_dtype, store_dtype=jnp.float32,
+                near_field_f64=near_field_f64,
             )
             log(f"  kernel built in {time.time() - t0:.2f}s; "
                 f"COMPRESSION RATE = {kernel.nnz / max(kernel.S.size, 1):.6f}; "

@@ -268,6 +268,7 @@ def compute_sensitivity(
     compute_dtype=jnp.float64,
     store_dtype=jnp.float32,
     batch_size: int = 256,
+    near_field_f64: int = 0,
 ) -> SensitKernel:
     """Build the dense (optionally wavelet-compressed) sensitivity kernel.
 
@@ -275,7 +276,13 @@ def compute_sensitivity(
     physics row -> multiply by column weight -> (wavelet + threshold) ->
     cast to storage precision. Data/problem weights are NOT applied here;
     see apply_row_weights (the reference applies them when re-reading the
-    kernel, sensitivity_gravmag.F90:836-843)."""
+    kernel, sensitivity_gravmag.F90:836-843).
+
+    near_field_f64 > 0 enables the mixed-precision build: rows are computed
+    in compute_dtype (f32) and the K cells nearest each observation point —
+    where the closed forms lose digits to cancellation — are recomputed in
+    f64 and patched in. This restores f64-build inversion quality at f32
+    build speed (important on TPUs where f64 is emulated)."""
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
@@ -283,7 +290,10 @@ def compute_sensitivity(
         jnp.asarray(a, compute_dtype)
         for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
     )
-    cw = jnp.asarray(column_weight, compute_dtype)
+    # Column weights stay f64 in the mixed build so the patched rows keep
+    # full precision.
+    cw_dtype = jnp.float64 if near_field_f64 > 0 else compute_dtype
+    cw = jnp.asarray(column_weight, cw_dtype)
 
     magv = None
     handle_inside = False
@@ -305,11 +315,31 @@ def compute_sensitivity(
     else:
         nel_compressed = N
 
+    K = min(near_field_f64, N) if near_field_f64 > 0 else 0
+    if K > 0:
+        grid_arrays64 = tuple(
+            jnp.asarray(a, jnp.float64)
+            for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
+        )
+        xc = jnp.asarray(0.5 * (grid.X1 + grid.X2), compute_dtype)
+        yc = jnp.asarray(0.5 * (grid.Y1 + grid.Y2), compute_dtype)
+        zc = jnp.asarray(0.5 * (grid.Z1 + grid.Z2), compute_dtype)
+
     @jax.jit
     def build_chunk(xd, yd, zd):
         def one(x, y, z):
             rows = _forward_rows(par, grid_arrays, x, y, z, handle_inside, magv, compute_dtype)
-            return rows * cw[:, None, None]  # depth weighting per column
+            if K > 0:
+                # f64 patch of the K nearest cells (cancellation zone).
+                d2 = (xc - x) ** 2 + (yc - y) ** 2 + (zc - z) ** 2
+                _, idx = jax.lax.top_k(-d2, K)
+                sub64 = tuple(a[idx] for a in grid_arrays64)
+                rows64 = _forward_rows(
+                    par, sub64, x.astype(jnp.float64), y.astype(jnp.float64),
+                    z.astype(jnp.float64), handle_inside, magv, jnp.float64,
+                )
+                rows = rows.astype(jnp.float64).at[idx].set(rows64)
+            return rows * cw[:, None, None].astype(rows.dtype)  # depth weighting
 
         rows = jax.vmap(one)(xd, yd, zd)  # (B, N, nmc, ndc)
         rows = jnp.moveaxis(rows, 1, -1)  # (B, nmc, ndc, N) -> lines over N
