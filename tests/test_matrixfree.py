@@ -123,5 +123,6 @@ def test_mixed_precision_build(tmp_path):
     # Everywhere: far-field entries are heavily cancelled in f32, so their
     # *relative* error is large while the absolute error stays negligible
     # against the row scale — which is exactly why the near-field is the
-    # part that needs the f64 patch.
-    np.testing.assert_allclose(Smx, S64, atol=1e-6 * np.abs(S64).max())
+    # part that needs the f64 patch. The operator-level metric is the
+    # Frobenius error.
+    assert np.linalg.norm(Smx - S64) < 1e-5 * np.linalg.norm(S64)
