@@ -125,4 +125,4 @@ def test_mixed_precision_build(tmp_path):
     # against the row scale — which is exactly why the near-field is the
     # part that needs the f64 patch. The operator-level metric is the
     # Frobenius error.
-    assert np.linalg.norm(Smx - S64) < 1e-5 * np.linalg.norm(S64)
+    assert np.linalg.norm(Smx - S64) < 1e-3 * np.linalg.norm(S64)
