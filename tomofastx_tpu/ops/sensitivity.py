@@ -27,13 +27,13 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
+
+from tomofastx_tpu.config.parfile import MagParams
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tomofastx_tpu.config.parfile import GravParams, MagParams
 from tomofastx_tpu.models.data import SurveyData
 from tomofastx_tpu.models.grid import Grid
 from tomofastx_tpu.ops import prism

@@ -25,7 +25,6 @@ block, vs 4*nrows*ncols dense; matvec traffic drops by ~2-3x at rate 0.15.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
