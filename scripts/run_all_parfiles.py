@@ -15,7 +15,6 @@ import jax
 
 jax.config.update("jax_platforms", os.environ.get("RUN_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 
 import jax.numpy as jnp
 

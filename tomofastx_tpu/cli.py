@@ -56,10 +56,6 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    # Persistent compilation cache (compiles are expensive on remote TPUs).
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -68,6 +64,16 @@ def main(argv=None):
         backend_is_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
         backend_is_tpu = False
+
+    if backend_is_tpu:
+        # Persistent compilation cache (compiles are expensive on remote
+        # TPUs). CPU executables are deliberately NOT cached: remote-compiled
+        # CPU AOT results can target different host CPU features (SIGILL
+        # risk).
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     precision = args.precision or ("single" if backend_is_tpu else "double")
     # x64 is always enabled: even in single (f32-solve) mode the sensitivity
