@@ -278,6 +278,16 @@ def solve_problem_joint_gravmag(
         fmt = getattr(par, "kernel_format", "dense")
         if fmt == "auto":
             fmt = "packed" if par.compression_type > 0 else "dense"
+        if fmt == "dense" or (fmt == "packed" and par.compression_type == 0):
+            # Contiguous transpose for fast adjoint GEMVs on CPU backends.
+            import jax as _jax
+
+            ST = (
+                jnp.asarray(np.ascontiguousarray(np.asarray(ctx.kernel.S).T))
+                if _jax.default_backend() == "cpu"
+                else None
+            )
+            return DenseKernel(ctx.kernel.S, ST)
         if fmt == "packed" and par.compression_type > 0:
             pk = pack_dense(np.asarray(ctx.kernel.S))
             log(

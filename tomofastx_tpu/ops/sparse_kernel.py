@@ -148,14 +148,23 @@ jax.tree_util.register_pytree_node(PackedKernel, _pk_flatten, _pk_unflatten)
 
 @dataclass
 class DenseKernel:
-    """Trivial dense counterpart with the same operator interface."""
+    """Trivial dense counterpart with the same operator interface.
+
+    ST: optional contiguous transpose. On CPU the strided S.T @ u GEMV is
+    ~10x slower than a contiguous one (measured: 317 ms vs 32 ms for a
+    1600x32000 f64 kernel on this host), so the workflow materializes ST on
+    CPU backends; on TPU the MXU handles either layout at bandwidth speed
+    and ST would just double HBM use."""
 
     S: jax.Array  # (nrows, ncols)
+    ST: jax.Array = None  # optional (ncols, nrows) contiguous transpose
 
     def matvec(self, x):
         return self.S @ x
 
     def rmatvec(self, u):
+        if self.ST is not None:
+            return self.ST @ u
         return self.S.T @ u
 
     @property
@@ -168,11 +177,11 @@ class DenseKernel:
 
 
 def _dk_flatten(dk: DenseKernel):
-    return (dk.S,), None
+    return (dk.S, dk.ST), None
 
 
 def _dk_unflatten(aux, children):
-    return DenseKernel(children[0])
+    return DenseKernel(children[0], children[1])
 
 
 jax.tree_util.register_pytree_node(DenseKernel, _dk_flatten, _dk_unflatten)
