@@ -181,6 +181,9 @@ def solve_problem_joint_gravmag(
     ipar = cfg.inversion
     out_dir = _mkoutdir(cfg, base_dir)
 
+    if ipar.method != 1:
+        raise ValueError(f"Unknown solver type {ipar.method}! (only 1 = LSQR)")
+
     active = [i for i in (GRAV, MAGN) if cfg.solve_problem(i)]
     if not active:
         raise ValueError("No active problems (both problem weights are zero).")
