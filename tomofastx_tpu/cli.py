@@ -48,6 +48,11 @@ def main(argv=None):
         help="mixed-precision kernel build: f32 rows + f64 recompute of the "
         "K nearest cells per observation (fast on TPU, near-f64 quality)",
     )
+    parser.add_argument(
+        "--fused", type=int, default=0, metavar="M",
+        help="run the major loop in on-device chunks of M iterations "
+        "(one lax.scan program per chunk; no host round-trips in between)",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -117,6 +122,7 @@ def main(argv=None):
         solve_problem_joint_gravmag(
             cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
             verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
+            fused_chunk=args.fused,
         )
     print("THE END.")
     return 0

@@ -60,6 +60,11 @@ class SystemSpec:
     rmin: float
     gamma: float
     target_misfit: float
+    # Dynamic ADMM weight adjustment (problem_joint_gravmag.F90:618-638);
+    # only used by the fused on-device major loop.
+    admm_cost_threshold: float = 1.0e-4
+    admm_weight_multiplier: float = 1.0
+    admm_max_weight: float = 1.0e10
 
     @property
     def N(self) -> int:
@@ -130,12 +135,8 @@ def _from_solver(spec: SystemSpec, seg):
     ).reshape(-1)
 
 
-def make_solver(spec: SystemSpec):
-    """Build the jitted per-major-iteration solve function.
-
-    Returns solve(arrays) -> dict with delta models, costs, new ADMM state,
-    LSQR stats, and output fields. `arrays` is a dict of device arrays; see
-    workflow.py for its construction."""
+def _build_solve_fn(spec: SystemSpec):
+    """Build the (untraced) per-major-iteration solve function."""
 
     nseg = len(spec.active)
     seg = spec.seg_size
@@ -384,4 +385,144 @@ def make_solver(spec: SystemSpec):
             "extras": extras,
         }
 
-    return jax.jit(solve_once)
+    return solve_once
+
+
+def make_solver(spec: SystemSpec):
+    """Jitted per-major-iteration solve: solve(arrays) -> dict with delta
+    models, costs, new ADMM state, LSQR stats and output fields."""
+    return jax.jit(_build_solve_fn(spec))
+
+
+
+def make_fused_solver(spec: SystemSpec, n_steps: int):
+    """Build a jitted driver that runs n_steps FULL major iterations
+    on-device in one XLA program (lax.scan): residual computation, the
+    LSQR solve, model update, forward data prediction, per-iteration costs,
+    and the dynamic ADMM weight adjustment
+    (problem_joint_gravmag.F90:473-547 entirely inside the device).
+
+    The host only sees the stacked per-iteration cost rows and the final
+    state — no tunnel round-trips between major iterations. Stop-file
+    checks and intermediate model writes happen at chunk boundaries.
+
+    arrays must additionally contain per active problem:
+    - "val_meas": (nd, ndc) observed data
+    - "data_weight": (nd, ndc) 1/sigma weights
+    """
+    solve_once = _build_solve_fn(spec)
+
+    def forward(arr, model):
+        """d_calc per problem (model.F90:220-307 semantics)."""
+        ds = []
+        for a, i in enumerate(spec.active):
+            cw = arr["cw"][a][None, :]
+            x = jnp.where(cw != 0.0, model[a] / jnp.where(cw != 0.0, cw, 1.0), 0.0)
+            xw = x.reshape(-1)
+            if spec.compression_type > 0:
+                xw = _to_solver(spec, xw)
+            d = arr["S"][a].matvec(xw)
+            d = d.reshape(arr["val_meas"][a].shape)
+            d = d / spec.problem_weight[i] / arr["data_weight"][a]
+            ds.append(d)
+        return tuple(ds)
+
+    def data_cost(arr, d_calc):
+        """Relative data cost per problem (data_gravmag.f90:123-129)."""
+        out = []
+        for a, i in enumerate(spec.active):
+            meas = arr["val_meas"][a]
+            denom = jnp.sqrt(jnp.sum(meas**2))
+            c = jnp.where(
+                denom != 0.0,
+                jnp.sqrt(jnp.sum((d_calc[a] - meas) ** 2)) / jnp.where(denom != 0.0, denom, 1.0),
+                0.0,
+            )
+            out.append(c)
+        return tuple(out)
+
+    def model_cost(arr, model):
+        """Lp model-prior cost per problem (costs.f90:74-113)."""
+        out = []
+        for a, i in enumerate(spec.active):
+            cw = arr["cw"][a]
+            diff = jnp.where(cw != 0.0, (model[a][0] - arr["prior"][a][0]) / jnp.where(cw != 0.0, cw, 1.0), 0.0)
+            out.append(jnp.sum(jnp.abs(diff) ** spec.norm_power))
+        return tuple(out)
+
+    def fused(arr):
+        dt = arr["cw"][0].dtype
+        extras_init = {}
+        if spec.cross_grad:
+            extras_init["cross_grad_magnitude"] = jnp.zeros((spec.N,), dt)
+        if spec.clustering:
+            extras_init["clustering_probabilities"] = jnp.zeros((spec.N,), dt)
+
+        init = (
+            arr["model"],
+            arr["admm_z"],
+            arr["admm_u"],
+            arr["rho_admm"],
+            extras_init,
+        )
+
+        def step(carry, _):
+            model, z, u, rho, _extras = carry
+            rho_used = rho  # the weight the reference logs for this row
+            d_calc = forward(arr, model)
+            # Pre-update costs: these become the "previous iteration" entries
+            # of the costs.txt row (problem_joint_gravmag.F90:519-528).
+            pre_cost_data = data_cost(arr, d_calc)
+            pre_cost_model = model_cost(arr, model)
+
+            residuals = tuple(
+                (arr["data_weight"][a] * (arr["val_meas"][a] - d_calc[a])).reshape(-1)
+                for a, i in enumerate(spec.active)
+            )
+            arr2 = dict(arr)
+            arr2.update(model=model, admm_z=z, admm_u=u, rho_admm=rho, residuals=residuals)
+            out = solve_once(arr2)
+
+            model_new = tuple(m + d for m, d in zip(model, out["delta"]))
+
+            # Post-update data cost drives the dynamic ADMM weight
+            # adjustment (problem_joint_gravmag.F90:618-638).
+            post_cost_data = data_cost(arr, forward(arr, model_new))
+            if spec.admm_weight_multiplier != 1.0:
+                rho_list = [rho[i] for i in range(2)]
+                for a, i in enumerate(spec.active):
+                    if spec.admm_enabled[i]:
+                        grow = (post_cost_data[a] < spec.admm_cost_threshold) & (
+                            rho[i] < spec.admm_max_weight
+                        )
+                        rho_list[i] = jnp.where(
+                            grow, spec.admm_weight_multiplier * rho[i], rho[i]
+                        )
+                rho = jnp.stack([rho_list[0], rho_list[1]])
+
+            ys = {
+                "pre_cost_data": jnp.stack(pre_cost_data),
+                "pre_cost_model": jnp.stack(pre_cost_model),
+                "post_cost_data": jnp.stack(post_cost_data),
+                "costs": out["costs"],
+                "rho": rho_used,
+                "lsqr_iters": out["lsqr_iters"],
+            }
+            return (model_new, out["admm_z"], out["admm_u"], rho, out["extras"] or _extras), ys
+
+        (model, z, u, rho, extras), ys = jax.lax.scan(step, init, None, length=n_steps)
+
+        final_d = forward(arr, model)
+        return {
+            "model": model,
+            "admm_z": z,
+            "admm_u": u,
+            "rho_admm": rho,
+            "extras": extras,
+            "per_iteration": ys,
+            "final_d_calc": final_d,
+            "final_cost_data": jnp.stack(data_cost(arr, final_d)),
+            "final_cost_model": jnp.stack(model_cost(arr, model)),
+        }
+
+    return jax.jit(fused)

@@ -152,6 +152,7 @@ def solve_problem_joint_gravmag(
     verbose: bool = True,
     mesh=None,
     near_field_f64: int = 0,
+    fused_chunk: int = 0,
 ) -> WorkflowResult:
     """Run the full inversion described by a Parfile configuration.
 
@@ -162,7 +163,12 @@ def solve_problem_joint_gravmag(
     near_field_f64 > 0 selects the fast mixed-precision kernel build:
     f32 rows with an f64 recompute of the K nearest cells per observation
     (see ops/sensitivity.py) — useful on TPUs where full-f64 builds are
-    emulated and slow."""
+    emulated and slow.
+
+    fused_chunk > 0 runs the major loop in on-device chunks of that many
+    iterations (one lax.scan program per chunk; no host round-trips between
+    major iterations — see make_fused_solver). Stop-file checks and
+    intermediate model writes happen at chunk boundaries."""
     import jax
 
     if solve_dtype is None:
@@ -390,6 +396,9 @@ def solve_problem_joint_gravmag(
         rmin=ipar.rmin,
         gamma=ipar.gamma,
         target_misfit=ipar.target_misfit,
+        admm_cost_threshold=ipar.data_cost_threshold_ADMM,
+        admm_weight_multiplier=ipar.weight_multiplier_ADMM,
+        admm_max_weight=ipar.max_weight_ADMM,
     )
     log(f"WAVELET_DOMAIN = {spec.wavelet_domain}")
     solver = make_solver(spec)
@@ -439,6 +448,13 @@ def solve_problem_joint_gravmag(
                 solve_dtype,
             )
             for i in active
+        ),
+        # Observed data + weights (used by the fused on-device major loop).
+        "val_meas": tuple(
+            jnp.asarray(ctxs[i].data.val_meas, solve_dtype) for i in active
+        ),
+        "data_weight": tuple(
+            jnp.asarray(ctxs[i].data.weight, solve_dtype) for i in active
         ),
     }
     if vec_field is not None:
@@ -518,8 +534,82 @@ def solve_problem_joint_gravmag(
         last_costs = {}
         extras_np = {}
 
-        # ---- major inversion loop ----
-        for it in range(1, ipar.ninversions + 1):
+        # ---- major inversion loop (fused on-device variant) ----
+        if fused_chunk > 0:
+            from tomofastx_tpu.inversion.joint import make_fused_solver
+
+            # Refresh val_meas (set after static_arrays when synthetic).
+            static_arrays["val_meas"] = tuple(
+                jnp.asarray(ctxs[i].data.val_meas, solve_dtype) for i in active
+            )
+            fused_cache = {}
+            it = 1
+            while it <= ipar.ninversions:
+                if os.path.exists(os.path.join(base_dir, "stop")):
+                    log("Stop file found! Exiting the loop.")
+                    break
+                steps = min(fused_chunk, ipar.ninversions - it + 1)
+                if ipar.write_model_niter > 0:
+                    wmn = ipar.write_model_niter
+                    next_write = ((it + wmn - 1) // wmn) * wmn
+                    steps = min(steps, next_write - it + 1)
+                if steps not in fused_cache:
+                    fused_cache[steps] = make_fused_solver(spec, steps)
+                t_it = time.time()
+                arrays = dict(static_arrays)
+                arrays.update(
+                    model=tuple(jnp.asarray(ctxs[i].model.val, solve_dtype) for i in active),
+                    prior=tuple(jnp.asarray(ctxs[i].model.val_prior, solve_dtype) for i in active),
+                    admm_z=tuple(admm_z),
+                    admm_u=tuple(admm_u),
+                    rho_admm=jnp.asarray(rho_admm, solve_dtype),
+                )
+                out = fused_cache[steps](arrays)
+
+                per_costs = {k: np.asarray(v) for k, v in out["per_iteration"]["costs"].items()}
+                pre_cd = np.asarray(out["per_iteration"]["pre_cost_data"])
+                pre_cm = np.asarray(out["per_iteration"]["pre_cost_model"])
+                rho_per = np.asarray(out["per_iteration"]["rho"])
+                for s in range(steps):
+                    cd = [0.0, 0.0]
+                    cm = [0.0, 0.0]
+                    for a, i in enumerate(active):
+                        cd[i] = float(pre_cd[s, a])
+                        cm[i] = float(pre_cm[s, a])
+                    costs_s = {
+                        k: (v[s] if np.ndim(v[s]) else float(v[s])) for k, v in per_costs.items()
+                    }
+                    costs_f.write(_costs_row(it - 1 + s, cd, cm, costs_s, rho_per[s]) + "\n")
+                    result.costs_history.append(
+                        {"iteration": it + s, "cost_data": cd, "cost_model": cm}
+                    )
+                costs_f.flush()
+
+                for a, i in enumerate(active):
+                    ctxs[i].model.val = np.asarray(out["model"][a])
+                    ctxs[i].data.val_calc = np.asarray(out["final_d_calc"][a]).reshape(
+                        ctxs[i].data.val_meas.shape
+                    )
+                admm_z = list(out["admm_z"])
+                admm_u = list(out["admm_u"])
+                rho_admm = [float(out["rho_admm"][0]), float(out["rho_admm"][1])]
+                fc = np.asarray(out["final_cost_data"])
+                fm = np.asarray(out["final_cost_model"])
+                for a, i in enumerate(active):
+                    cost_data[i] = float(fc[a])
+                    cost_model[i] = float(fm[a])
+                extras_np = {k: np.asarray(v) for k, v in out["extras"].items()}
+                log(
+                    f"  fused {steps} iterations in {time.time() - t_it:.2f}s, "
+                    + ", ".join(f"{PROBLEM_PREFIX[i]} cost = {cost_data[i]:.6e}" for i in active)
+                )
+                it += steps
+                if ipar.write_model_niter > 0 and (it - 1) >= 1 and (it - 1) % ipar.write_model_niter == 0:
+                    for i, ctx in ctxs.items():
+                        _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_inter_{it - 1}_")
+
+        # ---- major inversion loop (host-driven) ----
+        for it in ([] if fused_chunk > 0 else range(1, ipar.ninversions + 1)):
             if os.path.exists(os.path.join(base_dir, "stop")):
                 log("Stop file found! Exiting the loop.")
                 break
