@@ -18,7 +18,11 @@ def main(argv=None):
         prog="tomofastx",
         description="TPU-native Tomofast-x: 3-D gravity + magnetics joint inversion",
     )
-    parser.add_argument("-p", "--parfile", required=True, help="path to the Parfile")
+    parser.add_argument("-p", "--parfile", help="path to the Parfile")
+    parser.add_argument(
+        "-j", dest="parfile_j", metavar="PARFILE", default=None,
+        help="legacy alias for -p (reference: parameters_init.f90:104-119)",
+    )
     parser.add_argument(
         "--base-dir", default=".", help="directory that relative Parfile paths resolve against"
     )
@@ -55,6 +59,10 @@ def main(argv=None):
     )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
+    if args.parfile is None:
+        args.parfile = args.parfile_j
+    if args.parfile is None:
+        parser.error("a Parfile is required (-p/-j)")
 
     import jax
 
@@ -94,6 +102,13 @@ def main(argv=None):
     from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
 
     cfg = read_parfile(args.parfile)
+
+    if not args.quiet:
+        # Echo all parameters like the reference's rank-0 startup dump
+        # (parameters_init.f90:58-88).
+        from tomofastx_tpu.config.parfile import config_summary
+
+        print(config_summary(cfg))
 
     # Copy the Parfile into the output folder for provenance
     # (parameters_init.f90:144-148). Output paths are relative to the

@@ -287,8 +287,9 @@ def _build_solve_fn(spec: SystemSpec):
             segs = split_x(x)
             parts = []
             for a, i in enumerate(spec.active):
-                xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
-                parts.append(S[a].matvec(xw))
+                with jax.named_scope(f"sensit_matvec_{i}"):
+                    xw = _to_solver(spec, segs[a].reshape(-1)) if wconv else segs[a].reshape(-1)
+                    parts.append(S[a].matvec(xw))
             for a, i in enumerate(spec.active):
                 if a in damping_ops:
                     parts.append(damping_ops[a].matvec(segs[a]))
@@ -313,7 +314,8 @@ def _build_solve_fn(spec: SystemSpec):
             pos = 0
             for a, i in enumerate(spec.active):
                 rows = spec.ndata_rows[a]
-                g = S[a].rmatvec(u[pos : pos + rows])
+                with jax.named_scope(f"sensit_rmatvec_{i}"):
+                    g = S[a].rmatvec(u[pos : pos + rows])
                 if wconv:
                     g = _from_solver(spec, g)
                 out[a] = out[a] + g.reshape(spec.ncomp, spec.N)
