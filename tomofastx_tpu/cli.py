@@ -101,7 +101,11 @@ def main(argv=None):
     from tomofastx_tpu.config.parfile import read_parfile
     from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
 
-    cfg = read_parfile(args.parfile)
+    try:
+        cfg = read_parfile(args.parfile)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
 
     if not args.quiet:
         # Echo all parameters like the reference's rank-0 startup dump
@@ -133,12 +137,20 @@ def main(argv=None):
 
         mesh = make_mesh(args.mesh)
 
-    with profile_cm:
-        solve_problem_joint_gravmag(
-            cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
-            verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
-            fused_chunk=args.fused,
-        )
+    try:
+        with profile_cm:
+            solve_problem_joint_gravmag(
+                cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
+                verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
+                fused_chunk=args.fused,
+            )
+    except (FileNotFoundError, ValueError, FloatingPointError) as e:
+        # Clean fail-fast diagnostics, like the reference's exit_MPI banner
+        # (mpi_tools.F90:30-54). Re-raise with --debug-nans for tracebacks.
+        if args.debug_nans:
+            raise
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 1
     print("THE END.")
     return 0
 
