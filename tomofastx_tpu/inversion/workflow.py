@@ -538,6 +538,10 @@ def solve_problem_joint_gravmag(
         if fused_chunk > 0:
             from tomofastx_tpu.inversion.joint import make_fused_solver
 
+            if mesh is not None and m == 1:
+                log("WARNING: --fused currently ignores --mesh (the fused scan "
+                    "runs unsharded); drop one of the two options.")
+
             # Refresh val_meas (set after static_arrays when synthetic).
             static_arrays["val_meas"] = tuple(
                 jnp.asarray(ctxs[i].data.val_meas, solve_dtype) for i in active
