@@ -220,12 +220,14 @@ def test_stop_file(tmp_path, monkeypatch):
     cfg.grav.use_synthetic_model = 1
     cfg.grav.synthetic_model_file = synth
     cfg.inversion.ninversions = 50
-    with open(os.path.join(tmp, "stop"), "w") as f:
+    # The stop file is polled in the cwd (reference semantics,
+    # problem_joint_gravmag.F90:688) or in the run's output folder (since
+    # input trees may be read-only).
+    os.makedirs(cfg.path_output, exist_ok=True)
+    with open(os.path.join(cfg.path_output, "stop"), "w") as f:
         f.write("")
 
-    # Absolute fixture paths resolve identically through os.path.join, so
-    # base_dir only controls where the stop file is looked up.
-    res = solve_problem_joint_gravmag(cfg, base_dir=tmp, verbose=False)
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
     assert len(res.costs_history) == 0  # loop exited before iteration 1
 
 

@@ -126,3 +126,28 @@ def test_mixed_precision_build(tmp_path):
     # part that needs the f64 patch. The operator-level metric is the
     # Frobenius error.
     assert np.linalg.norm(Smx - S64) < 1e-3 * np.linalg.norm(S64)
+
+
+def test_matrixfree_e2e_magnetization_vector(tmp_path):
+    """Regression: matrix-free mode with nModelComponents = 3 used to crash
+    in _calculate_data on a (3N,)/(N,) broadcast."""
+    import os
+
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=20, problem="magn")
+    cfg.magn.nmodel_components = 3
+    cfg.inversion.nmodel_components = 3
+    synth = os.path.join(tmp, "synth3.txt")
+    vals = np.zeros((N, 3))
+    vals[30:50] = 2.0
+    write_values_file(synth, vals)
+    cfg.magn.use_synthetic_model = 1
+    cfg.magn.synthetic_model_file = synth
+    cfg.magn.kernel_format = "matrixfree"
+    cfg.inversion.ninversions = 2
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert np.all(np.isfinite(res.models[MAGN].val))
+    assert res.cost_data[MAGN] < 0.5

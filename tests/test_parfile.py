@@ -76,3 +76,17 @@ def test_unknown_key_warns(capsys):
 
     parse_parfile_lines(["bogus.key = 42\n"])
     assert "unknown Parfile key" in capsys.readouterr().err
+
+
+def test_magnetisation_vector_requires_gravity_disabled():
+    """Reference parity: parameters_init.f90:192-196 rejects
+    nModelComponents > 1 while the gravity problem is enabled."""
+    with pytest.raises(ValueError, match="gravity problem should be disabled"):
+        parse_parfile_lines(
+            [
+                "modelGrid.size = 2 2 2\n",
+                "modelGrid.magn.nModelComponents = 3\n",
+                "inversion.joint.grav.problemWeight = 1.0\n",
+                "inversion.joint.magn.problemWeight = 1.0\n",
+            ]
+        )

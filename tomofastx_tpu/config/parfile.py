@@ -233,8 +233,6 @@ def parse_parfile_lines(lines, warn_unknown: bool = True) -> Config:
 
     # Propagate shared fields (the reference copies these between structs,
     # parameters_init.f90:204-208 and initialize_parameters).
-    for p in (g, m):
-        pass
     inv.nx, inv.ny, inv.nz = g.nx, g.ny, g.nz
     m.nx, m.ny, m.nz = g.nx, g.ny, g.nz
     inv.ndata = (g.ndata, m.ndata)
@@ -251,6 +249,11 @@ def parse_parfile_lines(lines, warn_unknown: bool = True) -> Config:
     g.nmodel_components = 1  # gravity model is always scalar density
 
     # Sanity checks (reference: parameters_init.f90:952-962).
+    if m.nmodel_components > 1 and inv.problem_weight[GRAV] != 0.0:
+        raise ValueError(
+            "For the magnetisation inversion the gravity problem should be disabled! "
+            "(set inversion.joint.grav.problemWeight = 0)"
+        )
     if inv.admm_type > 0 and inv.admm_bound_type == 1:
         for i in (GRAV, MAGN):
             if cfg.solve_problem(i) and inv.admm_bounds[i] is not None:

@@ -110,9 +110,9 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
     or through the matrix-free operator."""
     pw = cfg.inversion.problem_weight[ctx.index]
     if ctx.kernel is None:
-        cw = ctx.column_weight
-        m = np.asarray(ctx.model.val).reshape(-1)
-        x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0)
+        cw = ctx.column_weight[None, :]
+        m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
+        x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
         d = np.asarray(ctx.operator.matvec(jnp.asarray(x, solve_dtype)))
         d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
         ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
@@ -400,6 +400,12 @@ def solve_problem_joint_gravmag(
         admm_weight_multiplier=ipar.weight_multiplier_ADMM,
         admm_max_weight=ipar.max_weight_ADMM,
     )
+    if (spec.cross_grad or spec.clustering) and len(active) < 2:
+        raise ValueError(
+            "Cross-gradient and clustering constraints require BOTH problems "
+            "active (nonzero inversion.joint.*.problemWeight); the reference "
+            "would dereference an unallocated second model here."
+        )
     log(f"WAVELET_DOMAIN = {spec.wavelet_domain}")
     solver = make_solver(spec)
     if mesh is not None:
@@ -549,7 +555,7 @@ def solve_problem_joint_gravmag(
             fused_cache = {}
             it = 1
             while it <= ipar.ninversions:
-                if os.path.exists(os.path.join(base_dir, "stop")):
+                if os.path.exists("stop") or os.path.exists(os.path.join(out_dir, "stop")):
                     log("Stop file found! Exiting the loop.")
                     break
                 steps = min(fused_chunk, ipar.ninversions - it + 1)
@@ -584,9 +590,6 @@ def solve_problem_joint_gravmag(
                         k: (v[s] if np.ndim(v[s]) else float(v[s])) for k, v in per_costs.items()
                     }
                     costs_f.write(_costs_row(it - 1 + s, cd, cm, costs_s, rho_per[s]) + "\n")
-                    result.costs_history.append(
-                        {"iteration": it + s, "cost_data": cd, "cost_model": cm}
-                    )
                 costs_f.flush()
 
                 for a, i in enumerate(active):
@@ -602,6 +605,18 @@ def solve_problem_joint_gravmag(
                 for a, i in enumerate(active):
                     cost_data[i] = float(fc[a])
                     cost_model[i] = float(fm[a])
+                # History entries carry POST-update costs labeled by their
+                # iteration, matching the host-driven loop: the post cost of
+                # iteration it+s is the pre cost of it+s+1 (or the final
+                # cost for the last step).
+                post_cd = np.asarray(out["per_iteration"]["post_cost_data"])
+                for s in range(steps):
+                    cd = [0.0, 0.0]
+                    for a, i in enumerate(active):
+                        cd[i] = float(post_cd[s, a])
+                    result.costs_history.append(
+                        {"iteration": it + s, "cost_data": cd, "cost_model": list(cost_model)}
+                    )
                 extras_np = {k: np.asarray(v) for k, v in out["extras"].items()}
                 log(
                     f"  fused {steps} iterations in {time.time() - t_it:.2f}s, "
@@ -614,7 +629,10 @@ def solve_problem_joint_gravmag(
 
         # ---- major inversion loop (host-driven) ----
         for it in ([] if fused_chunk > 0 else range(1, ipar.ninversions + 1)):
-            if os.path.exists(os.path.join(base_dir, "stop")):
+            # The reference polls ./stop in the cwd
+            # (problem_joint_gravmag.F90:688); the output dir is also
+            # accepted because base_dir/input trees may be read-only.
+            if os.path.exists("stop") or os.path.exists(os.path.join(out_dir, "stop")):
                 log("Stop file found! Exiting the loop.")
                 break
 

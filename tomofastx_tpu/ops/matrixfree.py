@@ -45,21 +45,15 @@ class _Physics:
 
 
 def _rows_for_point(phys: _Physics, grid6, x, y, z):
-    """(N, nmc, ndc) physics rows for one observation point."""
-    from tomofastx_tpu.ops import prism
+    """(N, nmc, ndc) physics rows for one observation point — delegates to
+    the shared dispatch (ops/sensitivity.py::forward_rows) so the stored
+    and matrix-free paths cannot diverge."""
+    from tomofastx_tpu.ops.sensitivity import forward_rows
 
-    if phys.problem == "magn":
-        return prism.magprism_row(
-            x, y, z, *grid6, phys.magv, phys.intensity,
-            nmodel_components=phys.nmc, ndata_components=phys.ndc,
-            handle_inside=phys.handle_inside,
-        )
-    if phys.data_type == 1:
-        return prism.gravi_z(x, y, z, *grid6)[:, None, None]
-    if phys.ndc == 1:
-        return prism.gradi_zz(x, y, z, *grid6)[:, None, None]
-    comps = prism.gradi_full(x, y, z, *grid6)
-    return jnp.stack(comps, axis=-1)[:, None, :]
+    return forward_rows(
+        phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
+        phys.intensity, phys.handle_inside, grid6, x, y, z,
+    )
 
 
 @dataclass
@@ -163,18 +157,13 @@ def make_matrixfree_kernel(
         raise ValueError("matrix-free mode requires forward.matrixCompression.type = 0")
 
     if isinstance(par, MagParams):
-        (xmin, xmax), (ymin, ymax), (zmin, zmax) = grid.bounds()
-        inside_any = bool(
-            np.any(
-                (data.X > xmin) & (data.X < xmax)
-                & (data.Y > ymin) & (data.Y < ymax)
-                & (data.Z > zmin) & (data.Z < zmax)
-            )
-        )
+        from tomofastx_tpu.ops.sensitivity import observation_inside_grid
+
         phys = _Physics(
             problem="magn", data_type=1, nmc=par.nmodel_components,
             ndc=par.ndata_components, magv=prism.dircos(par.mi, par.md, par.theta),
-            intensity=par.intensity, handle_inside=inside_any,
+            intensity=par.intensity,
+            handle_inside=observation_inside_grid(grid, data),
         )
     else:
         phys = _Physics(

@@ -208,26 +208,47 @@ class SensitKernel:
         return xw
 
 
-def _forward_rows(par, grid_arrays, xd, yd, zd, handle_inside: bool, magv, dtype):
+def forward_rows(
+    problem: str, data_type: int, nmc: int, ndc: int, magv, intensity,
+    handle_inside: bool, grid_arrays, xd, yd, zd,
+):
     """Raw physics rows for one observation point →
-    (N, nmodel_components, ndata_components)."""
+    (N, nmodel_components, ndata_components). The single physics dispatch
+    shared by the stored-kernel builder and the matrix-free operator
+    (reference: sensitivity_gravmag.F90:193-219)."""
     X1, X2, Y1, Y2, Z1, Z2 = grid_arrays
-    if isinstance(par, MagParams):
+    if problem == "magn":
         return prism.magprism_row(
-            xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, magv, par.intensity,
-            nmodel_components=par.nmodel_components,
-            ndata_components=par.ndata_components,
+            xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, magv, intensity,
+            nmodel_components=nmc, ndata_components=ndc,
             handle_inside=handle_inside,
         )
     # Gravity / gradiometry.
-    if par.data_type == 1:
+    if data_type == 1:
         line = prism.gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
         return line[:, None, None]
-    if par.ndata_components == 1:
+    if ndc == 1:
         line = prism.gradi_zz(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
         return line[:, None, None]
+    if ndc != 6:
+        # Reference: sensitivity_gravmag.F90:211.
+        raise ValueError("Wrong number of gravity gradiometry data components! (use 1 or 6)")
     comps = prism.gradi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
     return jnp.stack(comps, axis=-1)[:, None, :]
+
+
+def observation_inside_grid(grid, data) -> bool:
+    """Static check whether any observation point lies inside the model
+    volume (decides the magnetic 6-subprism borehole branch,
+    magnetic_field.f90:139-141)."""
+    (xmin, xmax), (ymin, ymax), (zmin, zmax) = grid.bounds()
+    return bool(
+        np.any(
+            (data.X > xmin) & (data.X < xmax)
+            & (data.Y > ymin) & (data.Y < ymax)
+            & (data.Z > zmin) & (data.Z < zmax)
+        )
+    )
 
 
 def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_dtype):
@@ -295,20 +316,13 @@ def compute_sensitivity(
     cw_dtype = jnp.float64 if near_field_f64 > 0 else compute_dtype
     cw = jnp.asarray(column_weight, cw_dtype)
 
-    magv = None
-    handle_inside = False
-    if isinstance(par, MagParams):
-        magv = prism.dircos(par.mi, par.md, par.theta)
-        # Static decision: only pay for the 6-subprism in-cell branch when
-        # some observation point actually lies inside the grid volume
-        # (reference always branches per cell, magnetic_field.f90:139-141).
-        (xmin, xmax), (ymin, ymax), (zmin, zmax) = grid.bounds()
-        inside_any = np.any(
-            (data.X > xmin) & (data.X < xmax)
-            & (data.Y > ymin) & (data.Y < ymax)
-            & (data.Z > zmin) & (data.Z < zmax)
-        )
-        handle_inside = bool(inside_any)
+    is_mag = isinstance(par, MagParams)
+    problem = "magn" if is_mag else "grav"
+    magv = prism.dircos(par.mi, par.md, par.theta) if is_mag else (0.0, 0.0, 1.0)
+    intensity = par.intensity if is_mag else 0.0
+    # Static decision: only pay for the 6-subprism in-cell branch when some
+    # observation point actually lies inside the grid volume.
+    handle_inside = is_mag and observation_inside_grid(grid, data)
 
     if par.compression_type > 0:
         nel_compressed = int(par.compression_rate * N)
@@ -328,15 +342,19 @@ def compute_sensitivity(
     @jax.jit
     def build_chunk(xd, yd, zd):
         def one(x, y, z):
-            rows = _forward_rows(par, grid_arrays, x, y, z, handle_inside, magv, compute_dtype)
+            rows = forward_rows(
+                problem, par.data_type, nmc, ndc, magv, intensity,
+                handle_inside, grid_arrays, x, y, z,
+            )
             if K > 0:
                 # f64 patch of the K nearest cells (cancellation zone).
                 d2 = (xc - x) ** 2 + (yc - y) ** 2 + (zc - z) ** 2
                 _, idx = jax.lax.top_k(-d2, K)
                 sub64 = tuple(a[idx] for a in grid_arrays64)
-                rows64 = _forward_rows(
-                    par, sub64, x.astype(jnp.float64), y.astype(jnp.float64),
-                    z.astype(jnp.float64), handle_inside, magv, jnp.float64,
+                rows64 = forward_rows(
+                    problem, par.data_type, nmc, ndc, magv, intensity,
+                    handle_inside, sub64, x.astype(jnp.float64),
+                    y.astype(jnp.float64), z.astype(jnp.float64),
                 )
                 rows = rows.astype(jnp.float64).at[idx].set(rows64)
             return rows * cw[:, None, None].astype(rows.dtype)  # depth weighting
