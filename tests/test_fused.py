@@ -142,3 +142,29 @@ def test_fused_workflow_matches_host_workflow(tmp_path):
         vh = np.array([float(t) for t in lh.split()])
         vf = np.array([float(t) for t in lf.split()])
         np.testing.assert_allclose(vf, vh, rtol=1e-6, atol=1e-12)
+
+
+def test_fused_workflow_on_mesh(tmp_path):
+    """Fused chunks sharded over the 8-device mesh == unsharded fused."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+    from tomofastx_tpu.parallel.mesh import make_mesh
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/plain/"
+    cfg.inversion.ninversions = 3
+    res_plain = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, fused_chunk=3
+    )
+
+    cfg.path_output = str(tmp_path) + "/mesh/"
+    res_mesh = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, fused_chunk=3, mesh=make_mesh(8)
+    )
+    # Sharded reductions reorder sums; differences compound across chained
+    # major iterations, so parity is tolerance-based (SURVEY.md §7 hard
+    # parts), not bitwise.
+    np.testing.assert_allclose(
+        res_mesh.models[0].val, res_plain.models[0].val, rtol=1e-5, atol=1e-6
+    )

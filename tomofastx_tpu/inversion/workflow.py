@@ -544,9 +544,7 @@ def solve_problem_joint_gravmag(
         if fused_chunk > 0:
             from tomofastx_tpu.inversion.joint import make_fused_solver
 
-            if mesh is not None and m == 1:
-                log("WARNING: --fused currently ignores --mesh (the fused scan "
-                    "runs unsharded); drop one of the two options.")
+
 
             # Refresh val_meas (set after static_arrays when synthetic).
             static_arrays["val_meas"] = tuple(
@@ -564,7 +562,17 @@ def solve_problem_joint_gravmag(
                     next_write = ((it + wmn - 1) // wmn) * wmn
                     steps = min(steps, next_write - it + 1)
                 if steps not in fused_cache:
-                    fused_cache[steps] = make_fused_solver(spec, steps)
+                    base_fused = make_fused_solver(spec, steps)
+                    if mesh is not None:
+                        from tomofastx_tpu.parallel.mesh import shard_system_arrays
+
+                        def _sharded(arrays, _f=base_fused):
+                            with mesh:
+                                return _f(shard_system_arrays(arrays, mesh))
+
+                        fused_cache[steps] = _sharded
+                    else:
+                        fused_cache[steps] = base_fused
                 t_it = time.time()
                 arrays = dict(static_arrays)
                 arrays.update(

@@ -71,7 +71,11 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
     out["cw"] = put_tuple(arrays["cw"], P(CELLS_AXIS))
     out["model"] = put_tuple(arrays["model"], P(None, CELLS_AXIS))
     out["prior"] = put_tuple(arrays["prior"], P(None, CELLS_AXIS))
-    out["residuals"] = put_tuple(arrays["residuals"], P())
+    if "residuals" in arrays:
+        out["residuals"] = put_tuple(arrays["residuals"], P())
+    for key in ("val_meas", "data_weight"):
+        if key in arrays:
+            out[key] = put_tuple(arrays[key], P())
     for key in ("admm_z", "admm_u", "bound_weight", "damping_weight"):
         if key in arrays:
             out[key] = put_tuple(arrays[key], P(CELLS_AXIS))
