@@ -232,8 +232,8 @@ class CrossGradientOp(NamedTuple):
     def rmatvec(self, u):
         shp = self.C1.shape[-3:]
         N = shp[0] * shp[1] * shp[2]
-        g1 = jnp.zeros(shp)
-        g2 = jnp.zeros(shp)
+        g1 = jnp.zeros(shp, u.dtype)
+        g2 = jnp.zeros(shp, u.dtype)
         for c in range(3):
             ucube = u[c * N : (c + 1) * N].reshape(shp)
             for oi, off in enumerate(_XG_OFFSETS):
@@ -324,11 +324,12 @@ def make_cross_gradient(
 
     n_off = len(_XG_OFFSETS)
     off_index = {o: i for i, o in enumerate(_XG_OFFSETS)}
-    C1 = jnp.zeros((3, n_off) + shp)
-    C2 = jnp.zeros((3, n_off) + shp)
-    tau = jnp.zeros((3,) + shp)
-
-    zero = jnp.zeros(shp)
+    # Follow the model dtype: a default-dtype zeros here would silently
+    # upcast f32 solves to f64.
+    dt = m1.dtype
+    C1 = jnp.zeros((3, n_off) + shp, dt)
+    C2 = jnp.zeros((3, n_off) + shp, dt)
+    tau = jnp.zeros((3,) + shp, dt)
 
     def accumulate(C1, C2, tau, scheme, mask):
         """Add one scheme's tau and Jacobian stencils where mask holds."""
