@@ -323,3 +323,25 @@ def test_lp_norm_damping_e2e(tmp_path):
 
     res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
     assert res.cost_data[GRAV] < 0.5
+
+
+def test_magnetization_vector_with_compression(tmp_path):
+    """nModelComponents = 3 with wavelet compression: per-component 3-D
+    transforms and thresholds (sensitivity_gravmag.F90:222-272)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36, problem="magn")
+    cfg.magn.nmodel_components = 3
+    cfg.inversion.nmodel_components = 3
+    synth = os.path.join(tmp, "synth3.txt")
+    write_values_file(synth, _synthetic_block_model(2.0, ncomp=3))
+    cfg.magn.use_synthetic_model = 1
+    cfg.magn.synthetic_model_file = synth
+    cfg.magn.compression_type = 1
+    cfg.grav.compression_type = 1
+    cfg.inversion.compression_type = 1
+    cfg.magn.compression_rate = 0.5
+    cfg.inversion.ninversions = 3
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[MAGN] < 0.5
+    assert np.all(np.isfinite(res.models[MAGN].val))

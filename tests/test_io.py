@@ -109,3 +109,27 @@ def test_vtk_files_written(tmp_path):
     p3 = str(tmp_path / "pts.vtk")
     vtk.write_points(p3, val[:256], g.X1[:256], g.Y1[:256], g.Z1[:256])
     assert os.path.getsize(p3) > 0
+
+
+def test_sensit_cache_roundtrip_multicomponent(tmp_path):
+    """Cache format with nmodel_components = 3 and ndata_components = 3
+    (row blocks ordered per data point: d-major, then k,
+    sensitivity_gravmag.F90:221-311)."""
+    rng = np.random.default_rng(5)
+    nd, ndc, nmc, nx, ny, nz = 4, 3, 3, 4, 3, 2
+    N = nx * ny * nz
+    S = rng.normal(size=(nd * ndc, nmc * N)).astype(np.float32)
+    S[np.abs(S) < 0.8] = 0.0
+    kern = SensitKernel(
+        S=jnp.asarray(S), ndata=nd, ndata_components=ndc, nmodel_components=nmc,
+        nx=nx, ny=ny, nz=nz, compression_type=1, comp_error=0.0,
+    )
+    from tomofastx_tpu.config.parfile import MagParams
+
+    par = MagParams(nx=nx, ny=ny, nz=nz, ndata=nd, compression_type=1,
+                    depth_weighting_type=1, nmodel_components=nmc,
+                    ndata_components=ndc)
+    cache = str(tmp_path / "SENSIT")
+    write_kernel_cache(cache, par, kern, np.ones(N))
+    kern2 = try_read_kernel_cache(cache + "/", par, type("G", (), dict(nx=nx, ny=ny, nz=nz))())
+    np.testing.assert_array_equal(np.asarray(kern2.S), S)
