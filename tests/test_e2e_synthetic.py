@@ -345,3 +345,93 @@ def test_magnetization_vector_with_compression(tmp_path):
     res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
     assert res.cost_data[MAGN] < 0.5
     assert np.all(np.isfinite(res.models[MAGN].val))
+
+
+def test_min_distance_depth_weighting(tmp_path):
+    """forward.depthWeighting.type = 3 (min-distance weighting,
+    weights_gravmag.f90:140-161)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    cfg.grav.depth_weighting_type = 3
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 2
+
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    assert res.cost_data[GRAV] < 0.5
+
+
+def test_sensit_read_2_reuses_depth_weight(tmp_path):
+    """sensit.readFromFiles = 2: the depth weight is read from the cache but
+    the kernel is recomputed (problem_joint_gravmag.F90:189-202)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 2
+    res1 = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+
+    cfg2 = cfg
+    cfg2.path_output = tmp + "/out2/"
+    cfg2.grav.sensit_read = 2
+    cfg2.magn.sensit_read = 2
+    cfg2.grav.sensit_path = os.path.join(tmp, "out", "SENSIT") + "/"
+    # make_base_config put output at tmp/out/
+    import glob
+
+    sensit_dirs = glob.glob(tmp + "/**/SENSIT", recursive=True)
+    cfg2.grav.sensit_path = sensit_dirs[0] + "/"
+    res2 = solve_problem_joint_gravmag(cfg2, base_dir="/", verbose=False)
+    np.testing.assert_allclose(res2.models[GRAV].val, res1.models[GRAV].val, atol=1e-9)
+
+
+def test_units_multipliers(tmp_path):
+    """global.*.dataUnitsMultiplier and modelUnitsMultiplier convert on
+    input and divide back on output (Parameters_all.txt:17-23)."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 3
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+
+    cfg.path_output = tmp + "/out_units/"
+    cfg.grav.data_units_mult = 1.0e-5  # e.g. input data in mGal
+    cfg.grav.model_units_mult = 1.0e3
+    res_units = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+
+    # The internal model is scaled by the multiplier; the written ASCII model
+    # divides it back out, so files agree with the unscaled run.
+    from tomofastx_tpu.io.model_io import read_model_values
+
+    m_plain = read_model_values(tmp + "/out/model/grav_final_model_full.txt", N, 1)
+    m_units = read_model_values(tmp + "/out_units/model/grav_final_model_full.txt", N, 1)
+    np.testing.assert_allclose(m_units, m_plain, rtol=1e-4, atol=1e-6)
+
+
+def test_intermediate_model_snapshots(tmp_path):
+    """inversion.writeModelEveryNiter writes restartable snapshots
+    (problem_joint_gravmag.F90:504-509), in both loop modes."""
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, _synthetic_block_model(300.0))
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 4
+    cfg.inversion.write_model_niter = 2
+    solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+    out = cfg.path_output
+    assert os.path.exists(os.path.join(out, "Paraview/grav_inter_2_model3D_full.vtk"))
+    assert os.path.exists(os.path.join(out, "Paraview/grav_inter_4_model3D_full.vtk"))
+
+    cfg.path_output = tmp + "/fused/"
+    res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False, fused_chunk=3)
+    assert os.path.exists(tmp + "/fused/Paraview/grav_inter_2_model3D_full.vtk")
+    assert os.path.exists(tmp + "/fused/Paraview/grav_inter_4_model3D_full.vtk")
