@@ -435,3 +435,45 @@ def test_intermediate_model_snapshots(tmp_path):
     res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False, fused_chunk=3)
     assert os.path.exists(tmp + "/fused/Paraview/grav_inter_2_model3D_full.vtk")
     assert os.path.exists(tmp + "/fused/Paraview/grav_inter_4_model3D_full.vtk")
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Crash-resume: a run checkpointed at iteration 4 and resumed to 6
+    equals an uninterrupted 6-iteration run (model + ADMM duals + rho are
+    all restored — beyond the reference's model-snapshot-only restart)."""
+    tmp = str(tmp_path)
+
+    def make(out):
+        cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+        synth = os.path.join(tmp, "synth.txt")
+        write_values_file(synth, _synthetic_block_model(300.0))
+        cfg.grav.use_synthetic_model = 1
+        cfg.grav.synthetic_model_file = synth
+        cfg.inversion.admm_type = 1
+        cfg.inversion.nlithos = 1
+        cfg.inversion.admm_bounds = ([-50.0, 350.0], None)
+        cfg.inversion.rho_ADMM = (1e-5, 1e5)
+        cfg.inversion.write_model_niter = 2
+        cfg.path_output = tmp + "/" + out + "/"
+        return cfg
+
+    # Uninterrupted 6 iterations.
+    cfg_full = make("full")
+    cfg_full.inversion.ninversions = 6
+    res_full = solve_problem_joint_gravmag(cfg_full, base_dir="/", verbose=False)
+
+    # Interrupted: 4 iterations (checkpoint lands at it=4), then resume to 6.
+    cfg_a = make("resumed")
+    cfg_a.inversion.ninversions = 4
+    solve_problem_joint_gravmag(cfg_a, base_dir="/", verbose=False)
+    assert os.path.exists(tmp + "/resumed/checkpoint.npz")
+
+    cfg_b = make("resumed")
+    cfg_b.inversion.ninversions = 6
+    res_resumed = solve_problem_joint_gravmag(
+        cfg_b, base_dir="/", verbose=False, resume=True
+    )
+
+    np.testing.assert_allclose(
+        res_resumed.models[GRAV].val, res_full.models[GRAV].val, rtol=1e-8, atol=1e-9
+    )

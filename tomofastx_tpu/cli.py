@@ -57,6 +57,12 @@ def main(argv=None):
         help="run the major loop in on-device chunks of M iterations "
         "(one lax.scan program per chunk; no host round-trips in between)",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="resume from <output>/checkpoint.npz (written every "
+        "writeModelEveryNiter iterations): restores models, ADMM duals, "
+        "rho and the iteration counter",
+    )
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
     if args.parfile is None:

@@ -153,6 +153,7 @@ def solve_problem_joint_gravmag(
     mesh=None,
     near_field_f64: int = 0,
     fused_chunk: int = 0,
+    resume: bool = False,
 ) -> WorkflowResult:
     """Run the full inversion described by a Parfile configuration.
 
@@ -168,7 +169,12 @@ def solve_problem_joint_gravmag(
     fused_chunk > 0 runs the major loop in on-device chunks of that many
     iterations (one lax.scan program per chunk; no host round-trips between
     major iterations — see make_fused_solver). Stop-file checks and
-    intermediate model writes happen at chunk boundaries."""
+    intermediate model writes happen at chunk boundaries.
+
+    resume=True restarts from <output>/checkpoint.npz if present (written
+    every writeModelEveryNiter iterations together with the model
+    snapshots): restores models, ADMM dual state z/u, rho, and the
+    iteration counter — state the reference cannot recover on restart."""
     import jax
 
     if solve_dtype is None:
@@ -533,9 +539,27 @@ def solve_problem_joint_gravmag(
             cost_data[i] = ctx.data.get_cost()
             log(f"data cost (initial) [{PROBLEM_PREFIX[i]}] = {cost_data[i]}")
 
+        it_start = 1
+        ckpt_path = os.path.join(out_dir, "checkpoint.npz")
+        if resume and os.path.exists(ckpt_path):
+            ck = load_checkpoint(ckpt_path)
+            if int(ck["m"]) == m:
+                it_start = int(ck["it"]) + 1
+                rho_admm = [float(v) for v in ck["rho_admm"]]
+                for a, i in enumerate(active):
+                    ctxs[i].model.val = ck[f"model_{i}"]
+                    ctxs[i].model.val_prior = ck[f"prior_{i}"]
+                    admm_z[a] = jnp.asarray(ck[f"admm_z_{i}"], solve_dtype)
+                    admm_u[a] = jnp.asarray(ck[f"admm_u_{i}"], solve_dtype)
+                    _calculate_data(ctxs[i], cfg, solve_dtype)
+                    cost_data[i] = ctxs[i].data.get_cost()
+                    cost_model[i] = _calculate_model_cost(ctxs[i], ipar.norm_power)
+                log(f"Resumed from checkpoint at iteration {it_start - 1}.")
+
         costs_path = os.path.join(out_dir, "costs.txt")
-        costs_f = open(costs_path, "w")
-        costs_f.write(COSTS_HEADER + "\n")
+        costs_f = open(costs_path, "a" if it_start > 1 else "w")
+        if it_start == 1:
+            costs_f.write(COSTS_HEADER + "\n")
 
         last_costs = {}
         extras_np = {}
@@ -551,7 +575,7 @@ def solve_problem_joint_gravmag(
                 jnp.asarray(ctxs[i].data.val_meas, solve_dtype) for i in active
             )
             fused_cache = {}
-            it = 1
+            it = it_start
             while it <= ipar.ninversions:
                 if os.path.exists("stop") or os.path.exists(os.path.join(out_dir, "stop")):
                     log("Stop file found! Exiting the loop.")
@@ -634,9 +658,10 @@ def solve_problem_joint_gravmag(
                 if ipar.write_model_niter > 0 and (it - 1) >= 1 and (it - 1) % ipar.write_model_niter == 0:
                     for i, ctx in ctxs.items():
                         _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_inter_{it - 1}_")
+                    save_checkpoint(ckpt_path, active, ctxs, admm_z, admm_u, rho_admm, m, it - 1)
 
         # ---- major inversion loop (host-driven) ----
-        for it in ([] if fused_chunk > 0 else range(1, ipar.ninversions + 1)):
+        for it in ([] if fused_chunk > 0 else range(it_start, ipar.ninversions + 1)):
             # The reference polls ./stop in the cwd
             # (problem_joint_gravmag.F90:688); the output dir is also
             # accepted because base_dir/input trees may be read-only.
@@ -676,6 +701,7 @@ def solve_problem_joint_gravmag(
             if ipar.write_model_niter > 0 and it % ipar.write_model_niter == 0:
                 for i, ctx in ctxs.items():
                     _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_inter_{it}_")
+                save_checkpoint(ckpt_path, active, ctxs, admm_z, admm_u, rho_admm, m, it)
 
             # costs.txt row for the previous iteration
             # (problem_joint_gravmag.F90:519-528).
@@ -775,6 +801,25 @@ def _costs_row(it, cost_data, cost_model, costs, rho_admm) -> str:
         get("clustering_cost_0"), get("clustering_cost_1"),
     ]
     return f" {it} " + " ".join(f"{v:.9E}" for v in vals)
+
+
+def save_checkpoint(path, active, ctxs, admm_z, admm_u, rho_admm, m, it):
+    """Mid-run state checkpoint (beyond the reference, which only snapshots
+    models and loses the ADMM dual state on restart — SURVEY.md §5.4)."""
+    payload = {"m": m, "it": it, "rho_admm": np.asarray(rho_admm), "active": np.asarray(active)}
+    for a, i in enumerate(active):
+        payload[f"model_{i}"] = np.asarray(ctxs[i].model.val)
+        payload[f"prior_{i}"] = np.asarray(ctxs[i].model.val_prior)
+        payload[f"admm_z_{i}"] = np.asarray(admm_z[a])
+        payload[f"admm_u_{i}"] = np.asarray(admm_u[a])
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
 
 
 def _with_paths(ipar, base_dir):
