@@ -151,3 +151,34 @@ def test_matrixfree_e2e_magnetization_vector(tmp_path):
     res = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
     assert np.all(np.isfinite(res.models[MAGN].val))
     assert res.cost_data[MAGN] < 0.5
+
+
+def test_matrixfree_boundary_guard(tmp_path):
+    """An observation point coinciding with a model-grid corner must abort
+    at operator construction with the reference's message
+    (gravity_field.f90:99-107), not propagate NaNs into the solve."""
+    par, grid, data, cw = _setup(tmp_path, "grav", 1)
+    # Park one observation point exactly on the first cell's corner.
+    data.X[0] = float(np.asarray(grid.X1[0]))
+    data.Y[0] = float(np.asarray(grid.Y1[0]))
+    data.Z[0] = float(np.asarray(grid.Z1[0]))
+    dw = np.ones((par.ndata, par.ndata_components))
+    with pytest.raises(ValueError, match="Adjust the model grid"):
+        make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+
+
+def test_matrixfree_padded_cells_equal_unpadded(tmp_path):
+    """Cell-axis padding (dummy far prisms, cw = 0) must not change the
+    operator."""
+    par, grid, data, cw = _setup(tmp_path)
+    dw = np.ones((par.ndata, par.ndata_components))
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+    opp = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=7
+    )
+    assert opp.N % 7 == 0 and opp.ncols == op.ncols
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(op.ncols,)))
+    u = jnp.asarray(rng.normal(size=(par.ndata,)))
+    np.testing.assert_allclose(np.asarray(opp.matvec(x)), np.asarray(op.matvec(x)), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(opp.rmatvec(u)), np.asarray(op.rmatvec(u)), rtol=1e-13)

@@ -85,3 +85,155 @@ def test_sharded_workflow_matches_unsharded(tmp_path):
     np.testing.assert_allclose(
         res_mesh.models[0].val, res_plain.models[0].val, rtol=1e-8, atol=1e-8
     )
+
+
+def test_hamersley_sharded_workflow(tmp_path):
+    """Arbitrary-N sharding: Hamersley's N = 57,057 = 13*133*33 divides no
+    mesh size > 1; the kernel must be pad-to-multiple cells-sharded on the
+    8-device mesh with parity to single-device (reference bar: block
+    partition for any nelements, parallel_tools.f90:46-63)."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/hamersley/Parfile_hamersley_grav.txt")
+    cfg.path_output = str(tmp_path) + "/plain/"
+    cfg.inversion.ninversions = 2
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg.path_output = str(tmp_path) + "/mesh/"
+    mesh = make_mesh(8)
+    res_mesh = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False, mesh=mesh)
+
+    # Hamersley is massively underdetermined (57k cells, 113 data): the
+    # sharded psum reorders partial sums, and 100 LSQR iterations amplify
+    # that rounding along near-null-space directions — individual
+    # low-sensitivity cells drift while the solution is unchanged at the
+    # solver level. Parity criterion = the driver's target (BASELINE.json):
+    # model RMS within 1e-4, matching data cost.
+    m_ref = res_plain.models[0].val
+    m_sh = res_mesh.models[0].val
+    assert np.linalg.norm(m_sh - m_ref) / np.linalg.norm(m_ref) < 1e-4
+    assert abs(res_mesh.cost_data[0] - res_plain.cost_data[0]) < 1e-6
+
+
+def test_sharded_kernel_is_actually_distributed():
+    """The padded dense kernel must be memory-sharded (not replicated):
+    every device holds 1/8 of the padded columns."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.ops.sparse_kernel import DenseKernel
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    rng = np.random.default_rng(3)
+    S = jnp.asarray(rng.normal(size=(16, 105)))  # uneven columns
+    mesh = make_mesh(8)
+    dk = shard_kernel(DenseKernel(S), mesh)
+    assert dk.S.shape == (16, 112) and dk.ncols == 105
+    shard_shapes = {sh.data.shape for sh in dk.S.addressable_shards}
+    assert shard_shapes == {(16, 14)}
+    # Operator semantics preserved through the padding.
+    x = jnp.asarray(rng.normal(size=(105,)))
+    np.testing.assert_allclose(np.asarray(dk.matvec(x)), np.asarray(S @ x), rtol=1e-12)
+    u = jnp.asarray(rng.normal(size=(16,)))
+    np.testing.assert_allclose(np.asarray(dk.rmatvec(u)), np.asarray(S.T @ u), rtol=1e-12)
+
+
+def test_packed_kernel_sharded_parity():
+    """PackedKernel matvec/rmatvec on the 8-device mesh == single device
+    (the reference's column-sharded adjoint, lsqr_solver2.F90:228-245)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.ops.sparse_kernel import pack_dense
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    rng = np.random.default_rng(11)
+    nrows, ncols = 24, 333  # uneven everything
+    S = rng.normal(size=(nrows, ncols))
+    S[rng.random(S.shape) > 0.2] = 0.0
+    pk = pack_dense(S)
+    mesh = make_mesh(8)
+    pks = shard_kernel(pk, mesh)
+
+    x = jnp.asarray(rng.normal(size=(ncols,)))
+    u = jnp.asarray(rng.normal(size=(nrows,)))
+    # Baseline: the SAME packed operator unsharded (pack stores f32 values,
+    # so the dense f64 product is not the right oracle).
+    y_ref = np.asarray(pk.matvec(x))
+    g_ref = np.asarray(pk.rmatvec(u))
+    with mesh:
+        y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(pks, x))
+        g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(pks, u))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_matrixfree_sharded_parity(tmp_path):
+    """Matrix-free operator cells-sharded (N = 150 padded to 152 dummy far
+    prisms with cw = 0) == the unsharded unpadded operator."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util_fixtures import make_base_config
+    from tomofastx_tpu.config.parfile import GRAV
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops import sensitivity as sens
+    from tomofastx_tpu.ops.matrixfree import make_matrixfree_kernel
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    cfg, grid_path, data_path = make_base_config(str(tmp_path), 5, 5, 6, ndata=16)
+    par = cfg.problem_params(GRAV)
+    grid = model_io.read_model_grid(grid_path, 5, 5, 6)
+    data = data_io.read_data_points(data_path, 16, 1, grid_only=True)
+    cw = sens.calculate_depth_weight(par, grid, data)
+    dw = np.ones((par.ndata, par.ndata_components))
+
+    op_plain = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+    op_pad = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=8
+    )
+    mesh = make_mesh(8)
+    op_sh = shard_kernel(op_pad, mesh)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(op_plain.ncols,)))
+    u = jnp.asarray(rng.normal(size=(par.ndata * par.ndata_components,)))
+
+    y_ref = np.asarray(op_plain.matvec(x))
+    g_ref = np.asarray(op_plain.rmatvec(u))
+    with mesh:
+        y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(op_sh, x))
+        g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(op_sh, u))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("compression", [0, 1])
+def test_sharded_sensitivity_build_bitwise(tmp_path, compression):
+    """Kernel built with the observation axis sharded over the 8-device
+    mesh == the single-device kernel, bit for bit (rows are independent;
+    reference bar: data-row parallel build, sensitivity_gravmag.F90:179-189).
+    nd = 13 does not divide 8 -> exercises the padded last chunk."""
+    from tests.util_fixtures import make_base_config
+    from tomofastx_tpu.config.parfile import GRAV
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops import sensitivity as sens
+
+    cfg, grid_path, data_path = make_base_config(str(tmp_path), 4, 4, 4, ndata=13)
+    par = cfg.problem_params(GRAV)
+    par.compression_type = compression
+    par.compression_rate = 0.3
+    grid = model_io.read_model_grid(grid_path, 4, 4, 4)
+    data = data_io.read_data_points(data_path, 13, 1, grid_only=True)
+    cw = sens.calculate_depth_weight(par, grid, data)
+
+    k_plain = sens.compute_sensitivity(par, grid, data, cw, batch_size=5)
+    mesh = make_mesh(8)
+    k_mesh = sens.compute_sensitivity(par, grid, data, cw, batch_size=5, mesh=mesh)
+
+    assert np.array_equal(np.asarray(k_plain.S), np.asarray(k_mesh.S))
+    assert k_plain.nnz == k_mesh.nnz
+    # comp_error is a reported statistic whose per-row N-reduction tiles
+    # differently for the padded chunk shape: last-ulp tolerance.
+    np.testing.assert_allclose(k_plain.comp_error, k_mesh.comp_error, rtol=1e-12)

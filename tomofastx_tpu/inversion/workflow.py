@@ -113,7 +113,18 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
         cw = ctx.column_weight[None, :]
         m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
         x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
-        d = np.asarray(ctx.operator.matvec(jnp.asarray(x, solve_dtype)))
+        xj = jnp.asarray(x, solve_dtype)
+        if ctx.par.compression_type > 0:
+            # Packed operators live in the wavelet domain
+            # (model.F90:272-274 semantics).
+            from tomofastx_tpu.ops import wavelet as W
+
+            g = ctx.model.grid
+            xj = W.forward_wavelet_flat(
+                xj.reshape(ctx.model.ncomponents, -1), g.nx, g.ny, g.nz,
+                ctx.par.compression_type,
+            ).reshape(-1)
+        d = np.asarray(ctx.operator.matvec(xj))
         d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
         ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
         return
@@ -252,8 +263,59 @@ def solve_problem_joint_gravmag(
             ctx.operator = make_matrixfree_kernel(
                 par, ctx.model.grid, ctx.data, ctx.column_weight,
                 ipar.problem_weight[i], ctx.data.weight, solve_dtype,
+                pad_cells_to=(mesh.devices.size if mesh is not None else 1),
             )
             log(f"  {PROBLEM_PREFIX[i]} kernel: matrix-free (no storage)")
+            continue
+
+        fmt = getattr(par, "kernel_format", "dense")
+        if fmt == "auto":
+            fmt = "packed" if par.compression_type > 0 else "dense"
+        if fmt == "packed" and par.compression_type > 0:
+            # Capacity mode: the dense (nd, N) array is NEVER materialized.
+            # Build streams row chunks straight to the reference-format
+            # cache (sensitivity_gravmag.F90:306-309) and the cache streams
+            # back into the packed top-k layout (ibid. 723-862 semantics).
+            from tomofastx_tpu.io.sensit_cache import (
+                SensitStreamWriter,
+                read_kernel_cache_packed,
+            )
+            from tomofastx_tpu.ops.sparse_kernel import apply_row_weights_packed
+
+            pk = meta = None
+            if par.sensit_read == 1:
+                pk, meta = read_kernel_cache_packed(
+                    os.path.join(base_dir, par.sensit_path), par, ctx.model.grid
+                )
+                if pk is None:
+                    log(f"WARNING: no readable sensitivity cache for {PROBLEM_PREFIX[i]}; recomputing.")
+            if pk is None:
+                log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel (streamed/packed)...")
+                t0 = time.time()
+                build_dtype = jnp.float32 if near_field_f64 > 0 else compute_dtype
+                writer = SensitStreamWriter(
+                    sensit_dir, par, ctx.model.grid, ctx.column_weight,
+                    par.compression_type,
+                )
+                kmeta = sens.compute_sensitivity(
+                    par, ctx.model.grid, ctx.data, ctx.column_weight,
+                    compute_dtype=build_dtype, store_dtype=jnp.float32,
+                    near_field_f64=near_field_f64, mesh=mesh,
+                    row_sink=writer.write_chunk,
+                )
+                writer.finalize(kmeta.comp_error)
+                log(f"  kernel built+cached in {time.time() - t0:.2f}s; "
+                    f"COMPRESSION ERROR, r = {kmeta.comp_error:.6e}")
+                pk, meta = read_kernel_cache_packed(sensit_dir, par, ctx.model.grid)
+
+            wrow = (ipar.problem_weight[i] * np.asarray(ctx.data.weight)).reshape(-1)
+            ctx.kernel = None
+            ctx.operator = apply_row_weights_packed(pk, wrow)
+            log(
+                f"  {PROBLEM_PREFIX[i]} kernel: packed "
+                f"{ctx.operator.nbytes / 1e6:.1f} MB "
+                f"(dense would be {pk.nrows * pk.ncols * 4 / 1e6:.1f} MB)"
+            )
             continue
 
         kernel = None
@@ -265,10 +327,26 @@ def solve_problem_joint_gravmag(
             log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel...")
             t0 = time.time()
             build_dtype = jnp.float32 if near_field_f64 > 0 else compute_dtype
+            # Predicted allocation print (reference: sparse_matrix.f90:508-515).
+            pred_gb = par.ndata * par.ndata_components * par.nmodel_components \
+                * ctx.model.grid.nelements_total * 4 / 1024**3
+            log(f"  predicted kernel size = {pred_gb:.3f} GB (float32)")
+
+            # 10% progress ticker (reference: sensitivity_gravmag.F90:313-316).
+            last_decile = [0]
+
+            def ticker(done, total):
+                decile = 10 * done // total
+                if decile > last_decile[0] and verbose:
+                    last_decile[0] = decile
+                    rate = done / max(time.time() - t0, 1e-9)
+                    print(f"  sensitivity rows: {10 * decile}% "
+                          f"({done}/{total}, {rate:.1f} rows/s)", flush=True)
+
             kernel = sens.compute_sensitivity(
                 par, ctx.model.grid, ctx.data, ctx.column_weight,
                 compute_dtype=build_dtype, store_dtype=jnp.float32,
-                near_field_f64=near_field_f64,
+                near_field_f64=near_field_f64, mesh=mesh, progress=ticker,
             )
             log(f"  kernel built in {time.time() - t0:.2f}s; "
                 f"COMPRESSION RATE = {kernel.nnz / max(kernel.S.size, 1):.6f}; "
@@ -283,34 +361,22 @@ def solve_problem_joint_gravmag(
         ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
 
     def _kernel_operator(ctx):
-        """Solver-side operator: dense MXU matmul, the packed top-k gather
-        layout, or the matrix-free row-regenerating operator."""
-        from tomofastx_tpu.ops.sparse_kernel import DenseKernel, pack_dense
+        """Solver-side operator: the packed/matrix-free operators are built
+        in phase III (ctx.operator); everything else is the dense MXU
+        matmul."""
+        from tomofastx_tpu.ops.sparse_kernel import DenseKernel
 
         if ctx.operator is not None:
             return ctx.operator
-        par = ctx.par
-        fmt = getattr(par, "kernel_format", "dense")
-        if fmt == "auto":
-            fmt = "packed" if par.compression_type > 0 else "dense"
-        if fmt == "dense" or (fmt == "packed" and par.compression_type == 0):
-            # Contiguous transpose for fast adjoint GEMVs on CPU backends.
-            import jax as _jax
+        # Contiguous transpose for fast adjoint GEMVs on CPU backends.
+        import jax as _jax
 
-            ST = (
-                jnp.asarray(np.ascontiguousarray(np.asarray(ctx.kernel.S).T))
-                if _jax.default_backend() == "cpu"
-                else None
-            )
-            return DenseKernel(ctx.kernel.S, ST)
-        if fmt == "packed" and par.compression_type > 0:
-            pk = pack_dense(np.asarray(ctx.kernel.S))
-            log(
-                f"  packed kernel: {pk.nbytes / 1e6:.1f} MB vs dense "
-                f"{np.asarray(ctx.kernel.S).nbytes / 1e6:.1f} MB"
-            )
-            return pk
-        return DenseKernel(ctx.kernel.S)
+        ST = (
+            jnp.asarray(np.ascontiguousarray(np.asarray(ctx.kernel.S).T))
+            if _jax.default_backend() == "cpu"
+            else None
+        )
+        return DenseKernel(ctx.kernel.S, ST)
 
     # Memory checkpoint after the forward phase (reference prints Pss here,
     # sensitivity_gravmag.F90:394-398).

@@ -58,17 +58,24 @@ def _rows_for_point(phys: _Physics, grid6, x, y, z):
 
 @dataclass
 class MatrixFreeKernel:
-    """Row-regenerating sensitivity operator ((nrows*ndc) x (nmc*N))."""
+    """Row-regenerating sensitivity operator ((nrows*ndc) x (nmc*N_true)).
+
+    The cell axis may be zero-padded (N >= N_true) so it divides a device
+    mesh: padding cells are dummy prisms parked far outside the model
+    volume with cw = 0, so their rows contribute nothing; matvec pads x and
+    rmatvec slices the gradient back (the arbitrary-N block partition of
+    parallel_tools.f90:46-63 as pad-to-multiple sharding)."""
 
     grid6: Tuple[jax.Array, ...]  # (X1, X2, Y1, Y2, Z1, Z2), each (N,)
     xd: jax.Array  # (nrows_padded,)
     yd: jax.Array
     zd: jax.Array
-    cw: jax.Array  # (N,) column weight baked into rows
+    cw: jax.Array  # (N,) column weight baked into rows; 0 on cell padding
     row_w: jax.Array  # (nrows_padded, ndc) problem*data weights; 0 on padding
     phys: _Physics
     chunk: int
     nrows: int  # true data count (unpadded)
+    N_true: int = None  # logical cell count; None = no cell padding
 
     @property
     def N(self) -> int:
@@ -76,7 +83,7 @@ class MatrixFreeKernel:
 
     @property
     def ncols(self) -> int:
-        return self.phys.nmc * self.N
+        return self.phys.nmc * (self.N_true if self.N_true is not None else self.N)
 
     def _chunk_rows(self, xs, ys, zs):
         return jax.vmap(lambda x, y, z: _rows_for_point(self.phys, self.grid6, x, y, z))(
@@ -84,7 +91,11 @@ class MatrixFreeKernel:
         )  # (chunk, N, nmc, ndc)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        xw = (self.cw[None, :] * x.reshape(self.phys.nmc, self.N))  # (nmc, N)
+        x2 = x.reshape(self.phys.nmc, -1)
+        npad = self.N - x2.shape[1]
+        if npad:
+            x2 = jnp.pad(x2, ((0, 0), (0, npad)))
+        xw = self.cw[None, :] * x2  # (nmc, N); cell padding zeroed by cw = 0
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
@@ -125,21 +136,24 @@ class MatrixFreeKernel:
                 u_pad.reshape(nchunks, self.chunk, -1),
             ),
         )
-        return (self.cw[None, :] * g).reshape(-1)
+        g = self.cw[None, :] * g
+        if self.N_true is not None and self.N_true != self.N:
+            g = g[:, : self.N_true]
+        return g.reshape(-1)
 
 
 def _mfk_flatten(k: MatrixFreeKernel):
     children = (k.grid6, k.xd, k.yd, k.zd, k.cw, k.row_w)
-    aux = (k.phys, k.chunk, k.nrows)
+    aux = (k.phys, k.chunk, k.nrows, k.N_true)
     return children, aux
 
 
 def _mfk_unflatten(aux, children):
     grid6, xd, yd, zd, cw, row_w = children
-    phys, chunk, nrows = aux
+    phys, chunk, nrows, N_true = aux
     return MatrixFreeKernel(
         grid6=grid6, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
-        phys=phys, chunk=chunk, nrows=nrows,
+        phys=phys, chunk=chunk, nrows=nrows, N_true=N_true,
     )
 
 
@@ -147,9 +161,21 @@ jax.tree_util.register_pytree_node(MatrixFreeKernel, _mfk_flatten, _mfk_unflatte
 
 
 def make_matrixfree_kernel(
-    par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32, chunk=None
+    par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32,
+    chunk=None, pad_cells_to: int = 1, validate: bool = True,
 ) -> MatrixFreeKernel:
-    """Build the operator from the problem description (no kernel storage)."""
+    """Build the operator from the problem description (no kernel storage).
+
+    pad_cells_to > 1 zero-pads the cell axis to that multiple (dummy far
+    prisms with cw = 0) so the operator shards over a device mesh of that
+    size for any N (see parallel/mesh.py::shard_kernel).
+
+    validate=True runs one probe matvec at construction and aborts on
+    non-finite output — the stored-kernel build catches a
+    boundary-coincident observation point at build time
+    (gravity_field.f90:99-107 aborts: "Data coordinate coincides with model
+    grid boundary ... Adjust the model grid!"); without this probe the
+    matrix-free path would instead propagate silent NaNs into the solve."""
     from tomofastx_tpu.config.parfile import MagParams
     from tomofastx_tpu.ops import prism
 
@@ -195,17 +221,53 @@ def make_matrixfree_kernel(
     row_w = np.zeros((nd_pad, phys.ndc))
     row_w[:nd] = problem_weight * np.asarray(data_weight).reshape(nd, phys.ndc)
 
-    return MatrixFreeKernel(
-        grid6=tuple(
-            jnp.asarray(a, dtype)
-            for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
-        ),
+    # Cell-axis padding: dummy unit prisms far outside the model volume
+    # (finite closed forms for every real observation point) with cw = 0.
+    N_pad = ((N + pad_cells_to - 1) // pad_cells_to) * pad_cells_to
+    ncpad = N_pad - N
+
+    def pad_cells(a, base):
+        if ncpad == 0:
+            return jnp.asarray(a, dtype)
+        out = np.empty(N_pad)
+        out[:N] = a
+        # Spread the dummies along x so no two coincide.
+        out[N:] = base + 10.0 * np.arange(ncpad)
+        return jnp.asarray(out, dtype)
+
+    fx = float(np.max(grid.X2)) + 2.0e6
+    fy = float(np.max(grid.Y2)) + 2.0e6
+    fz = float(np.max(grid.Z2)) + 2.0e6
+    grid6 = (
+        pad_cells(grid.X1, fx),
+        pad_cells(grid.X2, fx + 1.0),
+        pad_cells(grid.Y1, fy),
+        pad_cells(grid.Y2, fy + 1.0),
+        pad_cells(grid.Z1, fz),
+        pad_cells(grid.Z2, fz + 1.0),
+    )
+    cw_pad = np.zeros(N_pad)
+    cw_pad[:N] = np.asarray(column_weight)
+
+    op = MatrixFreeKernel(
+        grid6=grid6,
         xd=pad(data.X, far[0]),
         yd=pad(data.Y, far[1]),
         zd=pad(data.Z, far[2]),
-        cw=jnp.asarray(column_weight, dtype),
+        cw=jnp.asarray(cw_pad, dtype),
         row_w=jnp.asarray(row_w, dtype),
         phys=phys,
         chunk=chunk,
         nrows=nd,
+        N_true=N,
     )
+
+    if validate:
+        probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))
+        if not np.all(np.isfinite(probe)):
+            raise ValueError(
+                "Data coordinate coincides with model grid boundary. "
+                "Adjust the model grid! (non-finite matrix-free probe matvec; "
+                "reference aborts here, gravity_field.f90:99-107)"
+            )
+    return op

@@ -254,9 +254,11 @@ def observation_inside_grid(grid, data) -> bool:
 def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_dtype):
     """Wavelet-transform + threshold a batch of weighted rows.
 
-    lines: (..., N) in model domain (already column-weighted).
-    Returns (compressed (..., N) in store_dtype, nnz count, sum of per-row
-    compression errors r_i)."""
+    lines: (B, ..., N) in model domain (already column-weighted).
+    Returns (compressed (B, ..., N) in store_dtype, per-observation nnz
+    counts (B,), per-observation summed compression errors r_i (B,)) —
+    per-observation so callers can exclude padding rows added for mesh
+    divisibility."""
     N = nx * ny * nz
     cost_full = jnp.sum(lines.astype(jnp.float64) ** 2, axis=-1) if lines.dtype == jnp.float64 else jnp.sum(lines**2, axis=-1)
 
@@ -277,8 +279,9 @@ def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_d
 
     cost_discarded = jnp.sum(jnp.where(mask, 0.0, wl) ** 2, axis=-1)
     err = jnp.sqrt(cost_discarded / jnp.where(cost_full > 0, cost_full, 1.0))
-    nnz = jnp.sum(mask)
-    return compressed, nnz, jnp.sum(err)
+    inner = tuple(range(1, lines.ndim - 1))
+    nnz = jnp.sum(mask, axis=inner + (-1,))
+    return compressed, nnz, jnp.sum(err, axis=inner)
 
 
 def compute_sensitivity(
@@ -290,6 +293,9 @@ def compute_sensitivity(
     store_dtype=jnp.float32,
     batch_size: int = 256,
     near_field_f64: int = 0,
+    mesh=None,
+    progress=None,
+    row_sink=None,
 ) -> SensitKernel:
     """Build the dense (optionally wavelet-compressed) sensitivity kernel.
 
@@ -303,7 +309,26 @@ def compute_sensitivity(
     in compute_dtype (f32) and the K cells nearest each observation point —
     where the closed forms lose digits to cancellation — are recomputed in
     f64 and patched in. This restores f64-build inversion quality at f32
-    build speed (important on TPUs where f64 is emulated)."""
+    build speed (important on TPUs where f64 is emulated).
+
+    mesh: optional jax.sharding.Mesh — the observation axis of every chunk
+    is sharded across the mesh devices, so the build uses all chips (the
+    reference's data-row parallel phase 1, sensitivity_gravmag.F90:179-189;
+    each device computes an equal slice of rows). Chunks are padded with
+    far-away dummy points to divide the mesh; padding rows are dropped and
+    excluded from the nnz/error statistics. Per-row results are bitwise
+    identical to the unsharded build (rows are computed independently).
+
+    progress: optional callable(done_rows, total_rows) invoked after each
+    chunk (the reference's 10%% ticker, sensitivity_gravmag.F90:313-316).
+
+    row_sink: optional callable(chunk (B, ndc, nmc, N) float32, start_row).
+    When given, chunks STREAM to the sink (e.g. a SensitStreamWriter) and
+    are not accumulated — host memory stays one chunk, and the returned
+    SensitKernel has S = None (capacity mode: reload through
+    io/sensit_cache.read_kernel_cache_packed). This is the build-side
+    counterpart of the reference's write-inside-the-hot-loop streaming
+    (sensitivity_gravmag.F90:306-309)."""
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
@@ -368,31 +393,89 @@ def compute_sensitivity(
             )
             return comp, nnz, err_sum
         comp = rows.astype(store_dtype)
-        return comp, jnp.asarray(comp.size), jnp.asarray(0.0, compute_dtype)
+        per_obs = ndc * nmc * N
+        return (
+            comp,
+            jnp.full((comp.shape[0],), per_obs),
+            jnp.zeros((comp.shape[0],), compute_dtype),
+        )
 
     xs = np.asarray(data.X, np.float64)
     ys = np.asarray(data.Y, np.float64)
     zs = np.asarray(data.Z, np.float64)
+
+    n_mesh = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tomofastx_tpu.parallel.mesh import CELLS_AXIS
+
+        obs_sharding = NamedSharding(mesh, P(CELLS_AXIS))
+        # Dummy points far outside the volume: finite closed forms, rows
+        # discarded after the chunk.
+        far = (
+            float(np.max(grid.X2)) + 1.0e6,
+            float(np.max(grid.Y2)) + 1.0e6,
+            float(np.min(grid.Z1)) - 1.0e6,
+        )
+
+    def to_device(a, fill, e_pad, nb):
+        buf = np.full(e_pad, fill)
+        buf[:nb] = a
+        arr = jnp.asarray(buf, compute_dtype)
+        if mesh is not None:
+            arr = jax.device_put(arr, obs_sharding)
+        return arr
 
     chunks = []
     nnz_total = 0
     err_total = 0.0
     for s in range(0, nd, batch_size):
         e = min(s + batch_size, nd)
-        comp, nnz, err_sum = build_chunk(
-            jnp.asarray(xs[s:e], compute_dtype),
-            jnp.asarray(ys[s:e], compute_dtype),
-            jnp.asarray(zs[s:e], compute_dtype),
+        nb = e - s
+        if mesh is not None:
+            b_pad = ((nb + n_mesh - 1) // n_mesh) * n_mesh
+            comp, nnz, err_sum = build_chunk(
+                to_device(xs[s:e], far[0], b_pad, nb),
+                to_device(ys[s:e], far[1], b_pad, nb),
+                to_device(zs[s:e], far[2], b_pad, nb),
+            )
+        else:
+            comp, nnz, err_sum = build_chunk(
+                jnp.asarray(xs[s:e], compute_dtype),
+                jnp.asarray(ys[s:e], compute_dtype),
+                jnp.asarray(zs[s:e], compute_dtype),
+            )
+        chunk_np = np.asarray(comp)[:nb]
+        if row_sink is not None:
+            prism.validate_finite("sensitivity kernel chunk", chunk_np)
+            row_sink(chunk_np, s)
+        else:
+            chunks.append(chunk_np)
+        nnz_total += int(np.sum(np.asarray(nnz)[:nb]))
+        err_total += float(np.sum(np.asarray(err_sum)[:nb]))
+        if progress is not None:
+            progress(e, nd)
+
+    comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
+    if row_sink is not None:
+        return SensitKernel(
+            S=None,
+            ndata=nd,
+            ndata_components=ndc,
+            nmodel_components=nmc,
+            nx=grid.nx,
+            ny=grid.ny,
+            nz=grid.nz,
+            compression_type=par.compression_type,
+            comp_error=comp_error,
+            nnz=nnz_total,
         )
-        chunks.append(np.asarray(comp))
-        nnz_total += int(nnz)
-        err_total += float(err_sum)
 
     S4 = np.concatenate(chunks, axis=0)  # (nd, ndc, nmc, N)
     prism.validate_finite("sensitivity kernel", S4)
     S = S4.reshape(nd * ndc, nmc * N)
 
-    comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
     return SensitKernel(
         S=jnp.asarray(S),
         ndata=nd,

@@ -51,14 +51,18 @@ class PackedKernel:
         return jnp.einsum("rk,rk->r", self.row_vals, x[self.row_idx])
 
     def rmatvec(self, u: jax.Array) -> jax.Array:
+        # Heavy/light column partitions are disjoint by construction, so
+        # add == set on the zero-initialized gradient; add is used so that
+        # mesh-padding entries (column 0, value 0 — see pad_packed_for_mesh)
+        # are harmless no-ops instead of undefined duplicate-set winners.
         g = jnp.zeros((self.ncols,), u.dtype)
         if self.dense_block.shape[1]:
-            g = g.at[self.dense_cols].set(
+            g = g.at[self.dense_cols].add(
                 (u @ self.dense_block.astype(u.dtype))
             )
         if self.light_vals.shape[0]:
             contrib = jnp.einsum("ck,ck->c", self.light_vals, u[self.light_idx])
-            g = g.at[self.light_cols].set(contrib)
+            g = g.at[self.light_cols].add(contrib)
         return g
 
     @property
@@ -87,33 +91,39 @@ def pack_dense(
     def pad_to(n):
         return max(pad_multiple, ((n + pad_multiple - 1) // pad_multiple) * pad_multiple)
 
-    # ---- row packing ----
+    # ---- row packing (vectorized: one np.nonzero over the whole matrix,
+    # positions within each row by cumulative offsets) ----
     row_counts = mask.sum(axis=1)
     K = pad_to(int(row_counts.max()) if nrows else 1)
     row_vals = np.zeros((nrows, K), dtype)
     row_idx = np.zeros((nrows, K), np.int32)
-    for r in range(nrows):
-        cols = np.nonzero(mask[r])[0]
-        row_vals[r, : cols.size] = S[r, cols]
-        row_idx[r, : cols.size] = cols
+    rr, cc = np.nonzero(mask)  # row-major order: rows grouped, cols ascending
+    starts = np.concatenate([[0], np.cumsum(row_counts)[:-1]])
+    pos = np.arange(rr.size) - starts[rr]
+    row_vals[rr, pos] = S[rr, cc]
+    row_idx[rr, pos] = cc
 
     # ---- adjoint layout ----
     col_counts = mask.sum(axis=0)
     mean_pop = max(nnz / max(ncols, 1), 1.0)
     cap = col_cap_factor * mean_pop
     heavy = np.nonzero(col_counts > cap)[0]
-    light = np.nonzero((col_counts <= cap) & (col_counts > 0))[0]
+    light_mask = (col_counts <= cap) & (col_counts > 0)
+    light = np.nonzero(light_mask)[0]
 
     dense_block = np.ascontiguousarray(S[:, heavy].astype(dtype))
 
     KT = pad_to(int(col_counts[light].max()) if light.size else 1)
     light_vals = np.zeros((light.size, KT), dtype)
     light_idx = np.zeros((light.size, KT), np.int32)
-    ST = S.T
-    for li, c in enumerate(light):
-        rows = np.nonzero(mask[:, c])[0]
-        light_vals[li, : rows.size] = ST[c, rows]
-        light_idx[li, : rows.size] = rows
+    # Column-major walk over the light submatrix.
+    maskL = mask[:, light]
+    rrL, ccL = np.nonzero(maskL.T)  # per light column: rows ascending
+    countsL = col_counts[light]
+    startsL = np.concatenate([[0], np.cumsum(countsL)[:-1]])
+    posL = np.arange(rrL.size) - startsL[rrL]
+    light_vals[rrL, posL] = S[ccL, light[rrL]]
+    light_idx[rrL, posL] = ccL
 
     return PackedKernel(
         row_vals=jnp.asarray(row_vals),
@@ -154,18 +164,29 @@ class DenseKernel:
     ~10x slower than a contiguous one (measured: 317 ms vs 32 ms for a
     1600x32000 f64 kernel on this host), so the workflow materializes ST on
     CPU backends; on TPU the MXU handles either layout at bandwidth speed
-    and ST would just double HBM use."""
+    and ST would just double HBM use.
 
-    S: jax.Array  # (nrows, ncols)
-    ST: jax.Array = None  # optional (ncols, nrows) contiguous transpose
+    ncols_true: when set and smaller than S.shape[1], the trailing columns
+    of S are zero padding added so the column (cells) axis divides a device
+    mesh and the 128-lane tiling — the reference's arbitrary-N block
+    partition (parallel_tools.f90:46-63) re-expressed as pad-to-multiple
+    sharding. matvec pads x; rmatvec slices the gradient back."""
+
+    S: jax.Array  # (nrows, ncols_padded)
+    ST: jax.Array = None  # optional (ncols_padded, nrows) contiguous transpose
+    ncols_true: int = None  # logical column count; None = no padding
 
     def matvec(self, x):
+        npad = self.S.shape[1] - x.shape[0]
+        if npad:
+            x = jnp.pad(x, (0, npad))
         return self.S @ x
 
     def rmatvec(self, u):
-        if self.ST is not None:
-            return self.ST @ u
-        return self.S.T @ u
+        g = self.ST @ u if self.ST is not None else self.S.T @ u
+        if self.ncols_true is not None and g.shape[0] != self.ncols_true:
+            g = g[: self.ncols_true]
+        return g
 
     @property
     def nrows(self):
@@ -173,15 +194,83 @@ class DenseKernel:
 
     @property
     def ncols(self):
-        return self.S.shape[1]
+        return self.ncols_true if self.ncols_true is not None else self.S.shape[1]
 
 
 def _dk_flatten(dk: DenseKernel):
-    return (dk.S, dk.ST), None
+    return (dk.S, dk.ST), (dk.ncols_true,)
 
 
 def _dk_unflatten(aux, children):
-    return DenseKernel(children[0], children[1])
+    return DenseKernel(children[0], children[1], aux[0])
 
 
 jax.tree_util.register_pytree_node(DenseKernel, _dk_flatten, _dk_unflatten)
+
+
+def apply_row_weights_packed(pk: PackedKernel, wrow: np.ndarray) -> PackedKernel:
+    """Bake per-row weights (problem_weight * data_weight) into a packed
+    kernel, in storage precision — the packed counterpart of
+    sensitivity.apply_row_weights (reference: sensitivity_gravmag.F90:836-843).
+    wrow: (nrows,)."""
+    w = jnp.asarray(np.asarray(wrow).reshape(-1), pk.row_vals.dtype)
+    assert w.shape[0] == pk.nrows
+    return PackedKernel(
+        row_vals=pk.row_vals * w[:, None],
+        row_idx=pk.row_idx,
+        dense_cols=pk.dense_cols,
+        dense_block=pk.dense_block * w[:, None],
+        light_cols=pk.light_cols,
+        light_vals=pk.light_vals * w[pk.light_idx],
+        light_idx=pk.light_idx,
+        nrows=pk.nrows,
+        ncols=pk.ncols,
+    )
+
+
+def pad_packed_for_mesh(pk: PackedKernel, n: int) -> PackedKernel:
+    """Pad every mesh-sharded axis of a PackedKernel to a multiple of n.
+
+    Padding convention: slot/column padding points at index 0 with value 0,
+    which the add-based rmatvec treats as a no-op (see rmatvec). Returns pk
+    unchanged when all axes already divide."""
+
+    def padn(x, axis):
+        size = x.shape[axis]
+        pad = (-size) % n
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    K = pk.row_vals.shape[1]
+    nd = pk.dense_block.shape[1]
+    nl = pk.light_vals.shape[0]
+    if K % n == 0 and nd % n == 0 and nl % n == 0:
+        return pk
+    return PackedKernel(
+        row_vals=padn(pk.row_vals, 1),
+        row_idx=padn(pk.row_idx, 1),
+        dense_cols=padn(pk.dense_cols, 0),
+        dense_block=padn(pk.dense_block, 1),
+        light_cols=padn(pk.light_cols, 0),
+        light_vals=padn(pk.light_vals, 0),
+        light_idx=padn(pk.light_idx, 0),
+        nrows=pk.nrows,
+        ncols=pk.ncols,
+    )
+
+
+def pad_dense_columns(dk: DenseKernel, multiple: int) -> DenseKernel:
+    """Zero-pad the column axis of a DenseKernel to the next multiple (host
+    side, before device placement). Returns dk unchanged when it already
+    divides."""
+    ncols = dk.ncols
+    ncols_pad = ((ncols + multiple - 1) // multiple) * multiple
+    if ncols_pad == dk.S.shape[1]:
+        return dk
+    pad = ncols_pad - dk.S.shape[1]
+    S = jnp.pad(dk.S, ((0, 0), (0, pad)))
+    ST = jnp.pad(dk.ST, ((0, pad), (0, 0))) if dk.ST is not None else None
+    return DenseKernel(S, ST, ncols)

@@ -5,8 +5,9 @@ forward phase and model-column sharding for LSQR, stitched by a disk-based
 repartition shuffle (SURVEY.md §2.6). Here the same layouts are *sharding
 annotations* on a `jax.sharding.Mesh` with a single ``cells`` axis:
 
-- the sensitivity matrix S (rows, ncomp*N) is sharded over its column axis,
-- model-space vectors are sharded over cells,
+- the sensitivity operator is sharded over its cells (column) axis — this
+  is the only memory- and FLOP-dominant object in the system;
+- model-space vectors are replicated,
 - data-space vectors are replicated,
 
 which reproduces the reference layout (lsqr_solver2.F90:208-214: column
@@ -15,9 +16,17 @@ an XLA psum over ICI inserted by GSPMD, and the "repartition shuffle"
 (sensitivity_gravmag.F90:723-862) disappears entirely: resharding is a
 device_put.
 
-Constraint coefficient cubes (nz, ny, nx) shard their leading (z) axis,
-which is the same cells axis in flat i-fastest order; stencil rolls across
-the shard boundary lower to ppermute halo exchanges.
+Arbitrary N (the reference's block partition handles any nelements,
+parallel_tools.f90:46-63): kernels whose cells axis does not divide the
+mesh are zero-padded to the next multiple before placement
+(pad-to-multiple sharding); the operator classes mask the pad internally
+(see ops/sparse_kernel.py::DenseKernel.ncols_true). The small (N,) cell
+vectors are *deliberately replicated* — at N = 10^5..10^7 they are KB-to-MB
+sized vs the GB kernel, every elementwise constraint op on them is
+bandwidth-trivial, and replication avoids a reshard before each of the ~15
+stencil/diagonal ops per LSQR iteration. This is a layout decision, not a
+fallback: the per-iteration collectives are exactly the reference's two
+(psum of u = S·v partials, all-reduce of the v norm).
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -37,16 +47,90 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices[:n]), (CELLS_AXIS,))
 
 
-def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
-    """Place the joint-system arrays with the cells-sharded layout.
+def shard_kernel(k, mesh: Mesh):
+    """Place a sensitivity operator with its cells axis sharded.
 
-    Expects the dict built by workflow/solve; tuples are per-problem.
-    Shapes not divisible by the mesh size are left replicated (GSPMD will
-    still partition the compute where profitable)."""
+    - DenseKernel: column axis zero-padded to a mesh multiple and sharded
+      (P(None, cells)); the contiguous transpose shards its leading axis.
+    - PackedKernel: the row pack shards its slot (K) axis — each device
+      holds a slice of every row's gather list, the matvec partial-sums
+      over slots and GSPMD inserts the psum; the adjoint layouts shard by
+      column id (heavy dense block over its column axis, light pack over
+      its leading axis), the reference's free-by-construction column-sharded
+      adjoint (lsqr_solver2.F90:228-245).
+    - MatrixFreeKernel: grid prisms + column weight shard over cells (the
+      model axis); observation arrays replicate. Requires the padded cell
+      count to divide the mesh (see make_matrixfree_kernel pad_cells_to).
+    """
+    from tomofastx_tpu.ops.matrixfree import MatrixFreeKernel
+    from tomofastx_tpu.ops.sparse_kernel import (
+        DenseKernel,
+        PackedKernel,
+        pad_dense_columns,
+        pad_packed_for_mesh,
+    )
+
     n = mesh.devices.size
 
     def put(x, spec):
-        # Replicate anything whose sharded dim does not divide.
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    if isinstance(k, DenseKernel):
+        k = pad_dense_columns(k, n)
+        return DenseKernel(
+            put(k.S, P(None, CELLS_AXIS)),
+            put(k.ST, P(CELLS_AXIS, None)) if k.ST is not None else None,
+            k.ncols_true,
+        )
+
+    if isinstance(k, PackedKernel):
+        k = pad_packed_for_mesh(k, n)
+        return PackedKernel(
+            row_vals=put(k.row_vals, P(None, CELLS_AXIS)),
+            row_idx=put(k.row_idx, P(None, CELLS_AXIS)),
+            dense_cols=put(k.dense_cols, P(CELLS_AXIS)),
+            dense_block=put(k.dense_block, P(None, CELLS_AXIS)),
+            light_cols=put(k.light_cols, P(CELLS_AXIS)),
+            light_vals=put(k.light_vals, P(CELLS_AXIS, None)),
+            light_idx=put(k.light_idx, P(CELLS_AXIS, None)),
+            nrows=k.nrows,
+            ncols=k.ncols,
+        )
+
+    if isinstance(k, MatrixFreeKernel):
+        if k.N % n != 0:
+            raise ValueError(
+                f"matrix-free kernel has {k.N} (padded) cells, not divisible by "
+                f"the {n}-device mesh; build it with pad_cells_to={n}"
+            )
+        return MatrixFreeKernel(
+            grid6=tuple(put(a, P(CELLS_AXIS)) for a in k.grid6),
+            xd=put(k.xd, P()),
+            yd=put(k.yd, P()),
+            zd=put(k.zd, P()),
+            cw=put(k.cw, P(CELLS_AXIS)),
+            row_w=put(k.row_w, P()),
+            phys=k.phys,
+            chunk=k.chunk,
+            nrows=k.nrows,
+            N_true=k.N_true,
+        )
+
+    # Unknown operator type: replicate.
+    return jax.device_put(k, NamedSharding(mesh, P()))
+
+
+def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
+    """Place the joint-system arrays with the cells-sharded layout.
+
+    The kernels (the only large arrays) are always cells-sharded — padded
+    to a mesh multiple when N does not divide (no silent replication). The
+    small per-cell vectors are sharded when their cells axis divides the
+    mesh and replicated otherwise (deliberate, see module docstring: for
+    vectors replication is the faster layout and costs KB)."""
+    n = mesh.devices.size
+
+    def put(x, spec):
         for dim, name in enumerate(spec):
             if name is not None and x.shape[dim] % n != 0:
                 spec = P()
@@ -58,16 +142,7 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
 
     out = dict(arrays)
 
-    def put_kernel(k):
-        from tomofastx_tpu.ops.sparse_kernel import DenseKernel
-
-        if isinstance(k, DenseKernel):
-            return DenseKernel(put(k.S, P(None, CELLS_AXIS)))
-        # Packed kernels keep compiler-chosen layouts (their gather indices
-        # are global); replicate for now.
-        return jax.device_put(k, NamedSharding(mesh, P()))
-
-    out["S"] = tuple(put_kernel(k) for k in arrays["S"])
+    out["S"] = tuple(shard_kernel(k, mesh) for k in arrays["S"])
     out["cw"] = put_tuple(arrays["cw"], P(CELLS_AXIS))
     out["model"] = put_tuple(arrays["model"], P(None, CELLS_AXIS))
     out["prior"] = put_tuple(arrays["prior"], P(None, CELLS_AXIS))
