@@ -1,0 +1,98 @@
+"""Regenerate tests/goldens.json — pinned end-to-end regression values.
+
+Runs a fixed subset of the shipped parfiles at small iteration counts and
+records, per fixture: every costs.txt row, the final data/model costs, and
+model checksums (sum, L2, min, max, first/last cells). The paired test
+(tests/test_goldens.py) compares at rtol 1e-10: any solver-semantics change
+(even a 1-ulp perturbation, which 100 chained LSQR iterations amplify far
+beyond 1e-10) fails CI, while a deliberate re-pin is one command:
+
+    python scripts/gen_goldens.py
+
+Deterministic on a fixed (machine, jax/XLA version); re-pin when either
+changes.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (parfile, ninversions) — chosen to cover: ADMM+wavelet (mansf), plain
+# grav + mag + cross-gradient joint (hamersley), synthetic-model noddy
+# grav/mag with clustering off, at CI-friendly iteration counts.
+FIXTURES = [
+    ("parfiles/Parfile_mansf_slice.txt", 3),
+    ("parfiles/hamersley/Parfile_hamersley_grav.txt", 2),
+    ("parfiles/hamersley/Parfile_hamersley_mag.txt", 2),
+    ("parfiles/hamersley/Parfile_hamersley_xgrad_joint.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_grav_ellipsoid_simple.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_simple.txt", 2),
+]
+
+
+def model_checksums(val):
+    v = np.asarray(val, np.float64).ravel()
+    return {
+        "sum": float(v.sum()),
+        "l2": float(np.linalg.norm(v)),
+        "min": float(v.min()),
+        "max": float(v.max()),
+        "first": float(v[0]),
+        "last": float(v[-1]),
+    }
+
+
+def run_one(parfile, niter):
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    cfg = read_parfile(os.path.join(REF, parfile))
+    tmp = tempfile.mkdtemp()
+    cfg.path_output = tmp + "/"
+    cfg.inversion.ninversions = niter
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    costs_rows = []
+    with open(os.path.join(tmp, "costs.txt")) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            costs_rows.append([float(t) for t in line.split()])
+
+    return {
+        "ninversions": niter,
+        "cost_data": list(res.cost_data),
+        "cost_model": list(res.cost_model),
+        "costs_rows": costs_rows,
+        "models": {str(i): model_checksums(m.val) for i, m in res.models.items()},
+    }
+
+
+def main():
+    goldens = {}
+    for parfile, niter in FIXTURES:
+        print(f"[goldens] {parfile} ({niter} iters)...", flush=True)
+        goldens[parfile] = run_one(parfile, niter)
+    out = os.path.join(REPO, "tests", "goldens.json")
+    with open(out, "w") as f:
+        json.dump(goldens, f, indent=1)
+    print(f"[goldens] wrote {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,3 +59,56 @@ def test_blocked_matvec_pallas_interpret():
 
     expected = pk.blocked_matvec_xla(bv, bi, x)
     np.testing.assert_allclose(out[:, 0], expected, rtol=1e-5)
+
+
+def test_tile_union_pack_and_xla_matvec():
+    """Tile-union layout reproduces the dense product (CPU/XLA oracle)."""
+    import numpy as np
+
+    from tomofastx_tpu.ops.pallas_kernels import pack_tile_union, tile_matvec_xla
+
+    rng = np.random.default_rng(4)
+    nrows, N = 27, 512  # uneven rows -> tile padding
+    S = rng.normal(size=(nrows, N)).astype(np.float32)
+    S[rng.random(S.shape) > 0.15] = 0.0
+    uvals, ubidx, nr = pack_tile_union(S, tm=8)
+    assert nr == nrows and uvals.shape[0] == 4  # ceil(27/8)
+    x = rng.normal(size=(N,))
+    y = np.asarray(tile_matvec_xla(jnp.asarray(uvals), jnp.asarray(ubidx), jnp.asarray(x)))[:nrows]
+    np.testing.assert_allclose(y, S.astype(np.float64) @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_tile_union_pallas_interpret():
+    """Pallas tile-union kernel == XLA oracle (interpreter mode on CPU)."""
+    import numpy as np
+    from jax.experimental import pallas as pl
+
+    from tomofastx_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(6)
+    nrows, N = 16, 384
+    S = rng.normal(size=(nrows, N)).astype(np.float32)
+    S[rng.random(S.shape) > 0.3] = 0.0
+    uvals, ubidx, nr = pk.pack_tile_union(S, tm=8)
+    x = rng.normal(size=(N,)).astype(np.float32)
+
+    ntiles, TM, BU, _ = uvals.shape
+    NB = N // pk.BLOCK
+    grid_spec = pl.GridSpec(
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, BU), lambda i: (i, 0)),
+            pl.BlockSpec((1, TM, BU, pk.BLOCK), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((NB, pk.BLOCK), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TM), lambda i: (i, 0)),
+    )
+    out = pl.pallas_call(
+        pk._tile_matvec_kernel,
+        out_shape=jax.ShapeDtypeStruct((ntiles, TM), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=True,
+    )(jnp.asarray(ubidx), jnp.asarray(uvals), jnp.asarray(x).reshape(NB, pk.BLOCK))
+    y_ref = np.asarray(pk.tile_matvec_xla(jnp.asarray(uvals), jnp.asarray(ubidx), jnp.asarray(x)))
+    # f32 accumulation in different orders: ~1e-6 relative noise.
+    np.testing.assert_allclose(np.asarray(out).reshape(-1), y_ref, rtol=1e-4, atol=1e-4)

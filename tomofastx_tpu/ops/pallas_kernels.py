@@ -1,22 +1,32 @@
 """Pallas TPU kernels for the block-sparse sensitivity matvec.
 
-The wavelet-compressed kernel in *block* form keeps, per row, the top-B
-128-wide coefficient blocks by energy (a TPU-native re-design of the
-reference's per-element threshold, sensitivity_gravmag.F90:237-272 — same
-compression-rate semantics, lane-aligned support). XLA's gather lowering
-moves the full gathered intermediate through HBM, so a dense GEMV is as
-fast as its own block-sparse gather; this kernel keeps x resident in VMEM
-and walks each row's block list with scalar-prefetched indices, so HBM
-traffic is just the packed values + indices.
+The wavelet-compressed kernel in *block* form keeps, per row, the 128-wide
+coefficient blocks that contain surviving coefficients (a TPU-native
+re-design of the reference's per-element threshold,
+sensitivity_gravmag.F90:237-272 — same compression-rate semantics,
+lane-aligned support). XLA's gather lowering materializes the gathered
+intermediate in HBM, so per-element or per-row gathers lose to a dense
+GEMV; these kernels keep x resident in VMEM and stream only the packed
+values + indices from HBM.
 
-Layout:
-- bvals: (nrows, B, 128) float32/bfloat16 — kept blocks per row
-- bidx:  (nrows, B) int32 — block ids into x viewed as (N/128, 128)
-- x:     (N,) — fits VMEM for N up to ~3M f32 on v5e (16 MB/core)
+Two layouts:
 
-Grid: one program per row tile (TM rows); per block-slot b, the TM rows'
-blocks are fetched by scalar-indexed dynamic slices from the VMEM-resident
-x and accumulated with one (TM, 128) FMA.
+1. Row layout (``blocked_matvec``, round-1): per row, its top-B blocks.
+   The kernel walks TM rows' block lists with TM scalar-indexed (1, 128)
+   loads per block slot — measured 14x SLOWER than dense on v5e (the
+   serialized scalar loads dominate; BASELINE.md round-1 table).
+
+2. Tile-union layout (``tile_matvec``, round-2): rows are grouped in tiles
+   of TM; each tile stores the UNION of its rows' block lists once
+   (ubidx (ntiles, BU)) and the values per row per union block
+   (uvals (ntiles, TM, BU, 128), zero where a row does not use a block).
+   Wavelet rows of nearby observation points share most blocks (coarse
+   scales are kept by every row — the same heavy-tail the reference's nnz
+   histogram shows, sensitivity_gravmag.F90:378-392), so BU ~ B, and the
+   kernel needs ONE scalar-indexed x load per (tile, block) instead of TM:
+   the load count drops by TM x and each load is amortized over a
+   (TM, 128) FMA. HBM traffic ~ nnz-bound -> beats the dense GEMV by
+   ~1/(block fill rate) at production compression rates.
 """
 
 from __future__ import annotations
@@ -25,14 +35,20 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128
 
 
+# =============================================================================
+# Round-1 row layout (kept for comparison benchmarks; see module docstring)
+# =============================================================================
+
+
 def _blocked_matvec_kernel(bidx_ref, bvals_ref, x_ref, out_ref):
-    """bidx_ref: (TM, B) int32 VMEM tile; bvals_ref: (TM, B, 128) VMEM
+    """bidx_ref: (TM, B) int32 SMEM tile; bvals_ref: (TM, B, 128) VMEM
     tile; x_ref: (NB, 128) VMEM (whole vector); out_ref: (TM, 1)."""
     TM, B, _ = bvals_ref.shape
 
@@ -85,3 +101,95 @@ def blocked_matvec_xla(bvals, bidx, x):
     NB = x.shape[0] // BLOCK
     xb = x.reshape(NB, BLOCK)
     return jnp.einsum("rbk,rbk->r", bvals, xb[bidx].astype(bvals.dtype)).astype(jnp.float32)
+
+
+# =============================================================================
+# Round-2 tile-union layout
+# =============================================================================
+
+
+def pack_tile_union(S: np.ndarray, tm: int = 8):
+    """Pack a dense (nrows, N) matrix into the tile-union block layout.
+
+    Returns (uvals (ntiles, tm, BU, 128) f32, ubidx (ntiles, BU) i32,
+    nrows). Rows are tiled in natural order (neighboring observation rows
+    share wavelet support); each tile's block list is the union of its
+    rows' nonzero 128-blocks, padded to the max tile width BU with
+    repeats of block 0 and zero values."""
+    S = np.asarray(S)
+    nrows, N = S.shape
+    assert N % BLOCK == 0
+    nrows_pad = ((nrows + tm - 1) // tm) * tm
+    if nrows_pad != nrows:
+        S = np.vstack([S, np.zeros((nrows_pad - nrows, N), S.dtype)])
+    ntiles = nrows_pad // tm
+    NB = N // BLOCK
+
+    Sb = S.reshape(ntiles, tm, NB, BLOCK)
+    used = np.any(Sb != 0.0, axis=(1, 3))  # (ntiles, NB) blocks used by tile
+    counts = used.sum(axis=1)
+    BU = max(1, int(counts.max()))
+
+    ubidx = np.zeros((ntiles, BU), np.int32)
+    uvals = np.zeros((ntiles, tm, BU, BLOCK), np.float32)
+    for t in range(ntiles):
+        blocks = np.nonzero(used[t])[0]
+        ubidx[t, : blocks.size] = blocks
+        uvals[t, :, : blocks.size, :] = Sb[t, :, blocks, :].transpose(1, 0, 2)
+    return uvals, ubidx, nrows
+
+
+def _tile_matvec_kernel(ubidx_ref, uvals_ref, x_ref, out_ref):
+    """ubidx_ref: (1, BU) int32 SMEM; uvals_ref: (1, TM, BU, 128) VMEM;
+    x_ref: (NB, 128) VMEM (whole vector); out_ref: (1, TM).
+
+    One scalar-indexed (1, 128) load per union block, amortized over the
+    (TM, 128) FMA — the fix for the row layout's TM serialized loads."""
+    _, TM, BU, _ = uvals_ref.shape
+
+    def body(b, acc):
+        xblk = x_ref[pl.ds(ubidx_ref[0, b], 1), :]  # (1, 128)
+        return acc + uvals_ref[0, :, b, :].astype(jnp.float32) * xblk
+
+    acc = jax.lax.fori_loop(
+        0, BU, body, jnp.zeros((TM, BLOCK), jnp.float32)
+    )
+    out_ref[0, :] = jnp.sum(acc, axis=1)
+
+
+@jax.jit
+def tile_matvec(uvals: jax.Array, ubidx: jax.Array, x: jax.Array) -> jax.Array:
+    """y = S @ x through the tile-union layout. Returns (ntiles * TM,)
+    (caller slices off row padding)."""
+    ntiles, TM, BU, bs = uvals.shape
+    assert bs == BLOCK
+    N = x.shape[0]
+    assert N % BLOCK == 0
+    NB = N // BLOCK
+
+    grid_spec = pl.GridSpec(
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, BU), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TM, BU, BLOCK), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NB, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TM), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        _tile_matvec_kernel,
+        out_shape=jax.ShapeDtypeStruct((ntiles, TM), jnp.float32),
+        grid_spec=grid_spec,
+    )(ubidx, uvals, x.astype(jnp.float32).reshape(NB, BLOCK))
+    return out.reshape(-1)
+
+
+def tile_matvec_xla(uvals, ubidx, x):
+    """XLA lowering of the tile-union contraction (correctness oracle and
+    CPU fallback). The gathered intermediate is (ntiles, BU, 128) — TM x
+    smaller than the round-1 per-row gather."""
+    NB = x.shape[0] // BLOCK
+    xb = x.reshape(NB, BLOCK)
+    g = xb[ubidx]  # (ntiles, BU, 128)
+    return jnp.einsum("tmbk,tbk->tm", uvals, g.astype(uvals.dtype)).reshape(-1).astype(jnp.float32)
