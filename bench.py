@@ -90,7 +90,30 @@ def main():
     gflops = flops / dt / 1e9
     iters_per_s = iters / dt
 
-    baseline_gflops = 8.0  # estimated 48-core MPI reference (see BASELINE.md)
+    detail = {
+        "ndata": ndata,
+        "ncells": N,
+        "lsqr_iters": iters,
+        "lsqr_iters_per_s": round(iters_per_s, 2),
+        "solve_wall_s": round(dt, 4),
+        "backend": jax.default_backend(),
+    }
+
+    # ---- production-path metrics (VERDICT round-1 item 6): not a bare
+    # GEMV but the full product — wavelet conversions, damping + ADMM,
+    # fused on-device major loop on the shipped Mansfield parfile, plus
+    # the matrix-free (unlimited-scale) operator's per-iteration cost.
+    if not small:
+        try:
+            detail["mansfield_fused"] = _bench_mansfield_fused()
+        except Exception as e:  # never lose the primary metric
+            _log(f"[bench] mansfield fused bench failed: {e}")
+        try:
+            detail["matrixfree"] = _bench_matrixfree()
+        except Exception as e:
+            _log(f"[bench] matrixfree bench failed: {e}")
+
+    baseline_gflops = 8.0  # ESTIMATED 48-core MPI reference (see BASELINE.md)
     print(
         json.dumps(
             {
@@ -98,17 +121,107 @@ def main():
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / baseline_gflops, 2),
-                "detail": {
-                    "ndata": ndata,
-                    "ncells": N,
-                    "lsqr_iters": iters,
-                    "lsqr_iters_per_s": round(iters_per_s, 2),
-                    "solve_wall_s": round(dt, 4),
-                    "backend": jax.default_backend(),
-                },
+                "vs_baseline_estimated": True,
+                "detail": detail,
             }
         )
     )
+
+
+def _bench_mansfield_fused():
+    """Full Mansfield inversion (60 majors x 100 LSQR iters, ADMM +
+    wavelet compression) through the fused on-device major loop — the
+    product's time-to-misfit, not a kernel ceiling. Returns wall seconds
+    for the complete second (warm-cache) run and the fused-loop majors/s."""
+    import shutil
+    import tempfile
+
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    out = {}
+    for attempt in ("cold", "warm"):
+        cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+        tmp = tempfile.mkdtemp()
+        cfg.path_output = tmp + "/"
+        t0 = time.time()
+        res = solve_problem_joint_gravmag(
+            cfg, base_dir=REF, verbose=False, fused_chunk=60,
+        )
+        wall = time.time() - t0
+        out[f"{attempt}_wall_s"] = round(wall, 2)
+        out["final_cost"] = float(res.cost_data[0])
+        shutil.rmtree(tmp, ignore_errors=True)
+        _log(f"[bench] mansfield fused ({attempt}): {wall:.1f}s, "
+             f"cost {res.cost_data[0]:.2e}")
+    out["majors"] = 60
+    out["majors_per_s"] = round(60.0 / out["warm_wall_s"], 2)
+    return out
+
+
+def _bench_matrixfree():
+    """Matrix-free LSQR s/iter at the bench shape (262k cells, 4096 data):
+    the unlimited-scale mode's first recorded TPU number. The operator
+    regenerates every prism row per matvec — VPU transcendental-bound
+    instead of HBM-bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops import sensitivity as sens
+    from tomofastx_tpu.ops.lsqr import lsqr_solve
+    from tomofastx_tpu.ops.matrixfree import make_matrixfree_kernel
+
+    nx = ny = nz = 64
+    nd = 4096
+    h = 100.0
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    grid = Grid(nx=nx, ny=ny, nz=nz, X1=i * h, X2=(i + 1) * h,
+                Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+    n_side = 64
+    xs = (np.arange(n_side) + 0.5) * (nx * h / n_side)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    data = SurveyData(ndata=nd, ncomponents=1)
+    data.X, data.Y, data.Z = X.ravel(), Y.ravel(), np.full(nd, -0.1)
+
+    par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd, depth_weighting_type=1,
+                     Z0=0.1, depth_weighting_power=2.0)
+    cw = sens.calculate_depth_weight(par, grid, data, jnp.float32)
+    op = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, data.weight, jnp.float32, validate=False,
+    )
+
+    b = jnp.asarray(
+        np.random.default_rng(1).normal(size=(nd,)).astype(np.float32)
+    )
+    niter = 5
+
+    @jax.jit
+    def solve(op, b):
+        return lsqr_solve(op.matvec, op.rmatvec, b, op.ncols,
+                          niter=niter, rmin=0.0)
+
+    t0 = time.time()
+    res = solve(op, b)
+    _ = float(res.r)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    res = solve(op, b)
+    _ = float(res.r)
+    dt = time.time() - t0
+    s_per_iter = dt / int(res.iters)
+    _log(f"[bench] matrixfree: {s_per_iter:.3f} s/LSQR-iter "
+         f"(compile {compile_s:.0f}s)")
+    return {
+        "ncells": nx * ny * nz, "ndata": nd,
+        "s_per_lsqr_iter": round(s_per_iter, 4),
+        "lsqr_iters_per_s": round(1.0 / s_per_iter, 3),
+    }
 
 
 if __name__ == "__main__":

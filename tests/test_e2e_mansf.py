@@ -116,3 +116,23 @@ def test_packed_kernel_matches_dense(mansf_result, tmp_path):
 
     # Same operator, different summation order: agreement to solver tolerance.
     np.testing.assert_allclose(res2.models[0].val, res3.models[0].val, atol=2e-6)
+
+
+def test_mansfield_truth_correlation(tmp_path):
+    """Pin the precision-policy anchor: the full 60-major Mansfield
+    inversion recovers the true 3-lithology model with correlation
+    >= 0.81 (BASELINE.md: 0.8142 for the f64-build policy; an f32 kernel
+    build degrades this to 0.724, so a silent build-precision regression
+    fails here)."""
+    from tomofastx_tpu.io import model_io
+
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/"
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    true_vals = model_io.read_model_values(
+        f"{REF}/data/gravmag/mansf_slice/true_model_grav_3litho-values.txt", 8192, 1
+    )
+    corr = np.corrcoef(res.models[0].val.ravel(), true_vals.ravel())[0, 1]
+    assert corr >= 0.81, f"truth correlation regressed: {corr:.4f}"
+    assert res.cost_data[0] < 1e-6

@@ -271,26 +271,34 @@ def solve_problem_joint_gravmag(
         fmt = getattr(par, "kernel_format", "dense")
         if fmt == "auto":
             fmt = "packed" if par.compression_type > 0 else "dense"
-        if fmt == "packed" and par.compression_type > 0:
-            # Capacity mode: the dense (nd, N) array is NEVER materialized.
+        if fmt in ("packed", "tiled") and par.compression_type > 0:
+            # Capacity modes: the dense (nd, N) array is NEVER materialized.
             # Build streams row chunks straight to the reference-format
             # cache (sensitivity_gravmag.F90:306-309) and the cache streams
-            # back into the packed top-k layout (ibid. 723-862 semantics).
+            # back into the packed top-k layout or the tile-union block
+            # layout (ibid. 723-862 semantics).
             from tomofastx_tpu.io.sensit_cache import (
                 SensitStreamWriter,
                 read_kernel_cache_packed,
             )
             from tomofastx_tpu.ops.sparse_kernel import apply_row_weights_packed
+            from tomofastx_tpu.ops.tile_kernel import (
+                apply_row_weights_tiled,
+                tile_kernel_from_cache,
+            )
+
+            def _read_capacity(cache_dir):
+                if fmt == "tiled":
+                    return tile_kernel_from_cache(cache_dir, par, ctx.model.grid)
+                return read_kernel_cache_packed(cache_dir, par, ctx.model.grid)
 
             pk = meta = None
             if par.sensit_read == 1:
-                pk, meta = read_kernel_cache_packed(
-                    os.path.join(base_dir, par.sensit_path), par, ctx.model.grid
-                )
+                pk, meta = _read_capacity(os.path.join(base_dir, par.sensit_path))
                 if pk is None:
                     log(f"WARNING: no readable sensitivity cache for {PROBLEM_PREFIX[i]}; recomputing.")
             if pk is None:
-                log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel (streamed/packed)...")
+                log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel (streamed/{fmt})...")
                 t0 = time.time()
                 build_dtype = jnp.float32 if near_field_f64 > 0 else compute_dtype
                 writer = SensitStreamWriter(
@@ -306,13 +314,16 @@ def solve_problem_joint_gravmag(
                 writer.finalize(kmeta.comp_error)
                 log(f"  kernel built+cached in {time.time() - t0:.2f}s; "
                     f"COMPRESSION ERROR, r = {kmeta.comp_error:.6e}")
-                pk, meta = read_kernel_cache_packed(sensit_dir, par, ctx.model.grid)
+                pk, meta = _read_capacity(sensit_dir)
 
             wrow = (ipar.problem_weight[i] * np.asarray(ctx.data.weight)).reshape(-1)
             ctx.kernel = None
-            ctx.operator = apply_row_weights_packed(pk, wrow)
+            if fmt == "tiled":
+                ctx.operator = apply_row_weights_tiled(pk, wrow)
+            else:
+                ctx.operator = apply_row_weights_packed(pk, wrow)
             log(
-                f"  {PROBLEM_PREFIX[i]} kernel: packed "
+                f"  {PROBLEM_PREFIX[i]} kernel: {fmt} "
                 f"{ctx.operator.nbytes / 1e6:.1f} MB "
                 f"(dense would be {pk.nrows * pk.ncols * 4 / 1e6:.1f} MB)"
             )
