@@ -1,0 +1,127 @@
+"""Measure the wavelet-compressed kernel's sparsity structure on the real
+TPU build (64^3 cells, 4096 obs, rate 0.15) to choose the capacity-mode
+representation with data, not guesses.
+
+Questions answered (printed as JSON):
+1. Column population distribution: what dense-panel width covers what
+   fraction of nnz when columns are sorted by population?
+2. Block structure in the flat (in-place lifting, scale-interleaved)
+   ordering: per-row 128-block count, tile-union width at TM=8.
+3. Same two, after reordering columns by wavelet LEVEL (Mallat-style
+   grouping: coarse first, then per-level detail in spatial order).
+Saves the boolean nnz mask to /tmp/kernel_mask.npz for offline
+experiments.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import numpy as np
+
+
+def level_1d(n, L):
+    """Per-position wavelet level in the in-place lifting layout after L
+    scales: approx coefficients sit at stride 2^L (level L); detail of
+    level l at positions = odd multiples of 2^(l-1). Non-power-of-2 sizes
+    follow ceil-halving (wavelet_transform.F90:96-100): at each scale s
+    the first ceil(n_s / 2) strided positions stay 'approx'."""
+    lev = np.zeros(n, np.int32)
+    idx = np.arange(n)
+    cur = idx.copy()
+    for s in range(1, L + 1):
+        ns = cur.size
+        if ns <= 1:
+            break
+        approx = cur[np.arange(ns) % 2 == 0]
+        detail = cur[np.arange(ns) % 2 == 1]
+        lev[detail] = s
+        cur = approx
+    lev[cur] = L + 1  # final approximation, coarsest
+    return lev
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops import sensitivity as sens
+
+    NX = NY = NZ = 64
+    ND = 4096
+    h = 100.0
+    i = np.tile(np.arange(NX), NY * NZ)
+    j = np.tile(np.repeat(np.arange(NY), NX), NZ)
+    k = np.repeat(np.arange(NZ), NX * NY)
+    grid = Grid(nx=NX, ny=NY, nz=NZ, X1=i * h, X2=(i + 1) * h,
+                Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+    n_side = 64
+    xs = (np.arange(n_side) + 0.5) * (NX * h / n_side)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    data = SurveyData(ndata=ND, ncomponents=1)
+    data.X, data.Y, data.Z = X.ravel(), Y.ravel(), np.full(ND, -0.1)
+    par = GravParams(nx=NX, ny=NY, nz=NZ, ndata=ND, depth_weighting_type=1,
+                     compression_type=1, compression_rate=0.15, Z0=0.1,
+                     depth_weighting_power=2.0)
+    cw = sens.calculate_depth_weight(par, grid, data, jnp.float32)
+
+    print("building kernel...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    kern = sens.compute_sensitivity(par, grid, data, cw,
+                                    compute_dtype=jnp.float32,
+                                    store_dtype=jnp.float32, batch_size=256)
+    print(f"built in {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+    S = np.asarray(kern.S, np.float32)
+    mask = S != 0.0
+    np.savez_compressed("/tmp/kernel_mask.npz", mask=np.packbits(mask, axis=1),
+                        shape=np.array(mask.shape))
+    nnz = int(mask.sum())
+    N = S.shape[1]
+    out = {"shape": list(S.shape), "nnz": nnz, "rate": nnz / S.size}
+
+    # 1. dense-panel coverage when columns sorted by population
+    pop = mask.sum(axis=0)
+    order = np.argsort(-pop)
+    csum = np.cumsum(pop[order])
+    for frac in (0.5, 0.7, 0.8, 0.9, 0.95, 0.99):
+        w = int(np.searchsorted(csum, frac * nnz)) + 1
+        out[f"panel_cols_for_{int(frac*100)}pct_nnz"] = w
+        out[f"panel_bytes_frac_{int(frac*100)}"] = round(S.shape[0] * w * 4 / (nnz * 4), 2)
+    out["cols_pop_ge_half"] = int((pop >= S.shape[0] // 2).sum())
+    out["nnz_in_cols_pop_ge_half"] = round(float(pop[pop >= S.shape[0] // 2].sum()) / nnz, 3)
+
+    # 2. block structure, flat ordering
+    def block_stats(m, tag):
+        NB = m.shape[1] // 128
+        mb = m[:, : NB * 128].reshape(m.shape[0], NB, 128).any(axis=2)
+        per_row = mb.sum(axis=1)
+        tiles = mb.reshape(-1, 8, NB).any(axis=1)
+        out[f"{tag}_blocks_per_row_mean"] = round(float(per_row.mean()), 1)
+        out[f"{tag}_tile_union_max"] = int(tiles.sum(axis=1).max())
+        out[f"{tag}_tile_union_mean"] = round(float(tiles.sum(axis=1).mean()), 1)
+        out[f"{tag}_NB"] = NB
+
+    block_stats(mask, "flat")
+
+    # 3. level-grouped (Mallat-style) ordering
+    L = 10  # reference float-truncated scale count ~ log2 but capped by dims
+    lx = level_1d(NX, L)
+    ly = level_1d(NY, L)
+    lz = level_1d(NZ, L)
+    # Flat cell order is i-fastest: cube (nz, ny, nx) C-order.
+    lev3 = np.minimum.reduce(np.meshgrid(lz, ly, lx, indexing="ij")).ravel()
+    # column order: coarsest (high level) first, then spatial order inside
+    morder = np.lexsort((np.arange(N), -lev3))
+    block_stats(mask[:, morder], "mallat")
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,3 +148,73 @@ def test_dircos_north_field():
     X-east/Y-north convention (after decl2 = mod(450 - decl, 360))."""
     a, b, c = prism.dircos(0.0, 0.0, 0.0)
     assert abs(a) < 1e-12 and abs(b - 1.0) < 1e-12 and abs(c) < 1e-12
+
+
+def test_f32_build_stable_at_aligned_far_field():
+    """f32 closed forms must stay finite and accurate for far cells aligned
+    with the observation point (log(R + t) cancellation: one f32 ulp of R
+    exceeds the true sum -> naive form gives log(0) = -inf). The stable
+    o2/(R - t) rewrite must agree with the f64 oracle to f32 accuracy."""
+    n = 200
+    h = 100.0
+    # A row of surface cells along x; observation above a cell edge at the
+    # far END of the row (dy = 0 exactly, dz = 0.1): worst-case alignment.
+    i = np.arange(n).astype(np.float64)
+    X1, X2 = i * h, (i + 1) * h
+    Y1, Y2 = np.zeros(n), np.full(n, h)
+    Z1, Z2 = np.zeros(n), np.full(n, 50.0)
+    # Observation mid-cell in x over the FIRST cell, exactly aligned with
+    # the row's y edge, 0.1 m above: far cells to the right have
+    # XX = -dx < 0 with dy = 0, dz = 0.1, so R + XX = (dy^2 + dz^2)/(2 dx)
+    # ~ 4e-7, below one f32 ulp of R ~ 1e4 -> the naive log rounds to
+    # log(0) = -inf and 0 * -inf = NaN. (Mid-cell x keeps it off the
+    # singular corner ray the reference aborts on,
+    # gravity_field.f90:99-107.)
+    xd, yd, zd = 50.0, 0.0, -0.1
+    # Prove the geometry bites: the naive f32 form IS non-finite here.
+    x_naive = np.float32(xd) - X2.astype(np.float32)  # far cells: big negative
+    Rs_naive = np.sqrt(
+        x_naive * x_naive + np.float32(0.1) ** 2, dtype=np.float32
+    )
+    assert np.any(Rs_naive + x_naive <= 0.0), "test geometry no longer triggers cancellation"
+
+    def run(dtype):
+        args = [jnp.asarray(a, dtype) for a in (X1, X2, Y1, Y2, Z1, Z2)]
+        return {
+            "gz": np.asarray(prism.gravi_z(dtype(xd), dtype(yd), dtype(zd), *args)),
+            "full": np.column_stack([
+                np.asarray(c) for c in prism.gravi_full(dtype(xd), dtype(yd), dtype(zd), *args)
+            ]),
+            "ftg": np.column_stack([
+                np.asarray(c) for c in prism.gradi_full(dtype(xd), dtype(yd), dtype(zd), *args)
+            ]),
+            "mag": np.column_stack([
+                np.asarray(c)
+                for row in prism.sharmbox(dtype(xd), dtype(yd), dtype(zd), *args)
+                for c in row
+            ]),
+        }
+
+    r64 = run(np.float64)
+    r32 = run(np.float32)
+    for key in r64:
+        assert np.all(np.isfinite(r32[key])), f"non-finite f32 {key}"
+        # Absolute accuracy relative to the row scale. The f32 noise floor
+        # here is the 8-corner-sum cancellation (~1e-3 of the row max in
+        # this worst-case aligned geometry) — restoring accuracy beyond it
+        # is the f64-build/near-field-patch policy's job; THIS test pins
+        # finiteness (no log(0)) and the bounded noise floor.
+        scale = np.abs(r64[key]).max()
+        np.testing.assert_allclose(r32[key], r64[key], atol=1.5e-3 * scale, rtol=0)
+
+
+def test_stable_log_forms_match_naive_f64():
+    """The f64 path must keep the reference's literal formulas: stable
+    helpers only reroute f32."""
+    rng = np.random.default_rng(0)
+    Rs = jnp.asarray(1.0 + rng.random(50))
+    t = jnp.asarray(rng.normal(size=50) * 0.5)
+    o2 = Rs**2 - t**2
+    np.testing.assert_array_equal(
+        np.asarray(prism._log_R_plus(Rs, t, o2)), np.asarray(jnp.log(Rs + t))
+    )

@@ -39,6 +39,47 @@ def _wrap_atan2(y, x):
     return jnp.where(a < 0.0, a + TWO_PI, a)
 
 
+def _log_R_plus(Rs, t, o2):
+    """log(Rs + t), cancellation-armored for the f32 fast build.
+
+    For t < 0 and |t| ~ Rs (a far cell nearly aligned with the observation
+    point along this axis), Rs + t loses all mantissa bits in f32 — one
+    ulp of Rs exceeds the true sum, so the naive form rounds to log(0) =
+    -inf. The identity Rs + t = (Rs^2 - t^2)/(Rs - t) = o2/(Rs - t) (o2 =
+    sum of the other two squared coordinates) has no cancellation. The f64
+    path keeps the reference's literal formula (gravity_field.f90:110-117)
+    for bit-parity; f64 carries enough mantissa for every physical
+    geometry the reference accepts."""
+    if Rs.dtype != jnp.float32:
+        return jnp.log(Rs + t)
+    return jnp.log(jnp.where(t < 0.0, o2 / (Rs - t), Rs + t))
+
+
+def _half_log_ratio(Rs, t, o2):
+    """0.5 * log((Rs - t)/(Rs + t)), stable for both signs of t (f32);
+    the f64 path keeps the reference's literal form
+    (gravity_field.f90:268-271)."""
+    if Rs.dtype != jnp.float32:
+        return 0.5 * jnp.log((Rs - t) / (Rs + t))
+    big = jnp.where(t < 0.0, Rs - t, Rs + t)  # the non-cancelling side
+    ratio = jnp.where(t < 0.0, big * big / o2, o2 / (big * big))
+    return 0.5 * jnp.log(ratio)
+
+
+def _log_ratio_pp(t_num, a_num, t_den, a_den, o2_num, o2_den):
+    """log((t_num + a_num)/(t_den + a_den)) with a_i = sqrt(t_i^2 + o2_i),
+    f32-armored via t + a = o2/(a - t) for t < 0 (see _log_R_plus); the
+    f64 path keeps the reference's literal form (magnetic_field.f90:
+    380-457) for bit-parity."""
+    if a_num.dtype != jnp.float32:
+        return jnp.log((t_num + a_num) / (t_den + a_den))
+
+    def stab(t, a, o2):
+        return jnp.where(t < 0.0, o2 / (a - t), t + a)
+
+    return jnp.log(stab(t_num, a_num, o2_num) / stab(t_den, a_den, o2_den))
+
+
 def _corner_coords(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
     """Relative corner coordinates XX[2], YY[2], ZZ[2] per cell."""
     XX = (xd - X1, xd - X2)
@@ -61,8 +102,8 @@ def gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         x, y, z = XX[K], YY[L], ZZ[M]
         Rs = jnp.sqrt(x * x + y * y + z * z)
         arg3 = _wrap_atan2(x * y, z * Rs)
-        arg4 = jnp.log(Rs + x)
-        arg5 = jnp.log(Rs + y)
+        arg4 = _log_R_plus(Rs, x, y * y + z * z)
+        arg5 = _log_R_plus(Rs, y, x * x + z * z)
         gz = gz + mu * (z * arg3 - x * arg5 - y * arg4)
     return G_GRAV * gz
 
@@ -80,9 +121,9 @@ def gravi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         arg1 = _wrap_atan2(y * z, x * Rs)
         arg2 = _wrap_atan2(x * z, y * Rs)
         arg3 = _wrap_atan2(x * y, z * Rs)
-        lg4 = jnp.log(Rs + x)
-        lg5 = jnp.log(Rs + y)
-        lg6 = jnp.log(Rs + z)
+        lg4 = _log_R_plus(Rs, x, y * y + z * z)
+        lg5 = _log_R_plus(Rs, y, x * x + z * z)
+        lg6 = _log_R_plus(Rs, z, x * x + y * y)
         gx = gx + mu * (x * arg1 - y * lg6 - z * lg5)
         gy = gy + mu * (y * arg2 - z * lg4 - x * lg6)
         gz = gz + mu * (z * arg3 - x * lg5 - y * lg4)
@@ -126,9 +167,9 @@ def gradi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         vyy = _wrap_atan2(x * y, Rs * Rs + Rs * z - x * x)
         vzz = -jnp.arctan2(x * y, Rs * z)
         vzz = jnp.where(vzz < 0.0, vzz + TWO_PI, vzz)
-        vxy = jnp.log(Rs + z)
-        vzx = 0.5 * jnp.log((Rs - y) / (Rs + y))
-        vyz = 0.5 * jnp.log((Rs - x) / (Rs + x))
+        vxy = _log_R_plus(Rs, z, x * x + y * y)
+        vzx = _half_log_ratio(Rs, y, x * x + z * z)
+        vyz = _half_log_ratio(Rs, x, y * y + z * z)
         gxx = gxx + mu * vxx
         gyy = gyy + mu * vyy
         gzz = gzz + mu * vzz
@@ -194,10 +235,10 @@ def sharmbox(x0, y0, z0, x1, x2, y1, y2, z1, z2):
         - jnp.arctan2(ry2 * rz1, rx1 * a4)
     )
     tyx = (
-        jnp.log((rz2 + a2) / (rz1 + a3))
-        - jnp.log((rz2 + a1) / (rz1 + a4))
-        + jnp.log((rz2 + a6) / (rz1 + a7))
-        - jnp.log((rz2 + a5) / (rz1 + a8))
+        _log_ratio_pp(rz2, a2, rz1, a3, R1, R1)
+        - _log_ratio_pp(rz2, a1, rz1, a4, R2, R2)
+        + _log_ratio_pp(rz2, a6, rz1, a7, R4, R4)
+        - _log_ratio_pp(rz2, a5, rz1, a8, R3, R3)
     )
     tyy = (
         jnp.arctan2(rx1 * rz2, ry2 * a1)
@@ -223,10 +264,10 @@ def sharmbox(x0, y0, z0, x1, x2, y1, y2, z1, z2):
     b7 = jnp.sqrt(rx1s + R4)
     b8 = jnp.sqrt(rx2s + R4)
     tyz = (
-        jnp.log((rx1 + b1) / (rx2 + b2))
-        - jnp.log((rx1 + b3) / (rx2 + b4))
-        + jnp.log((rx1 + b7) / (rx2 + b8))
-        - jnp.log((rx1 + b5) / (rx2 + b6))
+        _log_ratio_pp(rx1, b1, rx2, b2, R1, R1)
+        - _log_ratio_pp(rx1, b3, rx2, b4, R2, R2)
+        + _log_ratio_pp(rx1, b7, rx2, b8, R4, R4)
+        - _log_ratio_pp(rx1, b5, rx2, b6, R3, R3)
     )
 
     R1 = rx2s + rz1s
@@ -242,10 +283,10 @@ def sharmbox(x0, y0, z0, x1, x2, y1, y2, z1, z2):
     c7 = jnp.sqrt(ry1s + R4)
     c8 = jnp.sqrt(ry2s + R4)
     txz = (
-        jnp.log((ry1 + c1) / (ry2 + c2))
-        - jnp.log((ry1 + c3) / (ry2 + c4))
-        + jnp.log((ry1 + c7) / (ry2 + c8))
-        - jnp.log((ry1 + c5) / (ry2 + c6))
+        _log_ratio_pp(ry1, c1, ry2, c2, R1, R1)
+        - _log_ratio_pp(ry1, c3, ry2, c4, R2, R2)
+        + _log_ratio_pp(ry1, c7, ry2, c8, R4, R4)
+        - _log_ratio_pp(ry1, c5, ry2, c6, R3, R3)
     )
 
     tzz = -(txx + tyy)  # Gauss (trace-free)
