@@ -120,9 +120,9 @@ def main():
     print(f"tile-union packed in {time.time() - t0:.1f}s: "
           f"uvals {uvals.shape} = {uvals.nbytes / 1e9:.2f} GB "
           f"(dense {S.nbytes / 1e9:.2f} GB, nnz-bound {nnz * 4 / 1e9:.2f} GB); "
-          f"BU = {uvals.shape[2]}, block fill = {nnz / (uvals.size):.3f}", flush=True)
+          f"BU = {uvals.shape[1]}, block fill = {nnz / (uvals.size):.3f}", flush=True)
     results["tile_bytes"] = int(uvals.nbytes)
-    results["BU"] = int(uvals.shape[2])
+    results["BU"] = int(uvals.shape[1])
 
     uv = jnp.asarray(uvals)
     ub = jnp.asarray(ubidx)

@@ -78,37 +78,29 @@ def test_tile_union_pack_and_xla_matvec():
     np.testing.assert_allclose(y, S.astype(np.float64) @ x, rtol=1e-5, atol=1e-5)
 
 
-def test_tile_union_pallas_interpret():
-    """Pallas tile-union kernel == XLA oracle (interpreter mode on CPU)."""
+@pytest.mark.parametrize("nrows", [16, 512])
+def test_tile_union_pallas_interpret(nrows):
+    """Pallas tile-union kernel (scalar-prefetched index maps) == XLA
+    oracle under the interpreter; nrows=512 exceeds the SMEM index budget
+    when shrunk, so also exercise the lax.map group-chunking with a
+    temporarily tiny budget."""
     import numpy as np
-    from jax.experimental import pallas as pl
 
     from tomofastx_tpu.ops import pallas_kernels as pk
 
     rng = np.random.default_rng(6)
-    nrows, N = 16, 384
+    N = 384
     S = rng.normal(size=(nrows, N)).astype(np.float32)
     S[rng.random(S.shape) > 0.3] = 0.0
     uvals, ubidx, nr = pk.pack_tile_union(S, tm=8)
     x = rng.normal(size=(N,)).astype(np.float32)
+    uv, ub, xj = jnp.asarray(uvals), jnp.asarray(ubidx), jnp.asarray(x)
 
-    ntiles, TM, BU, _ = uvals.shape
-    NB = N // pk.BLOCK
-    grid_spec = pl.GridSpec(
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, BU), lambda i: (i, 0)),
-            pl.BlockSpec((1, TM, BU, pk.BLOCK), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((NB, pk.BLOCK), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, TM), lambda i: (i, 0)),
-    )
-    out = pl.pallas_call(
-        pk._tile_matvec_kernel,
-        out_shape=jax.ShapeDtypeStruct((ntiles, TM), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=True,
-    )(jnp.asarray(ubidx), jnp.asarray(uvals), jnp.asarray(x).reshape(NB, pk.BLOCK))
-    y_ref = np.asarray(pk.tile_matvec_xla(jnp.asarray(uvals), jnp.asarray(ubidx), jnp.asarray(x)))
-    # f32 accumulation in different orders: ~1e-6 relative noise.
-    np.testing.assert_allclose(np.asarray(out).reshape(-1), y_ref, rtol=1e-4, atol=1e-4)
+    y_ref = np.asarray(pk.tile_matvec_xla(uv, ub, xj))
+    out = np.asarray(pk.tile_matvec(uv, ub, xj, interpret=True))
+    np.testing.assert_allclose(out.reshape(-1), y_ref, rtol=1e-4, atol=1e-4)
+
+    if nrows == 512:
+        # Force multiple lax.map groups (tiny SMEM budget).
+        out2 = np.asarray(pk.tile_matvec(uv, ub, xj, interpret=True, smem_budget=64))
+        np.testing.assert_allclose(out2.reshape(-1), y_ref, rtol=1e-4, atol=1e-4)

@@ -169,6 +169,39 @@ def test_packed_kernel_sharded_parity():
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-12, atol=1e-12)
 
 
+def test_tile_kernel_sharded_parity():
+    """TileKernel matvec/rmatvec on the 8-device mesh == single device;
+    tile axes (27 rows -> 4 tiles, 333 cols -> 42 tiles) do not divide 8,
+    exercising pad_tiles_for_mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.ops.tile_kernel import pack_tiles
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    rng = np.random.default_rng(13)
+    nrows, ncols = 27, 333
+    S = rng.normal(size=(nrows, ncols)).astype(np.float32)
+    S[rng.random(S.shape) > 0.2] = 0.0
+    tk = pack_tiles(S)
+    mesh = make_mesh(8)
+    tks = shard_kernel(tk, mesh)
+    assert tks.sharded and tks.uvals.shape[0] % 8 == 0
+    # Memory-sharded, not replicated: each device holds 1/8 of the tiles.
+    shard_shapes = {sh.data.shape[0] for sh in tks.uvals.addressable_shards}
+    assert shard_shapes == {tks.uvals.shape[0] // 8}
+
+    x = jnp.asarray(rng.normal(size=(ncols,)).astype(np.float32))
+    u = jnp.asarray(rng.normal(size=(nrows,)).astype(np.float32))
+    y_ref = np.asarray(tk.matvec(x))
+    g_ref = np.asarray(tk.rmatvec(u))
+    with mesh:
+        y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(tks, x))
+        g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(tks, u))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-6, atol=1e-6)
+
+
 def test_matrixfree_sharded_parity(tmp_path):
     """Matrix-free operator cells-sharded (N = 150 padded to 152 dummy far
     prisms with cw = 0) == the unsharded unpadded operator."""

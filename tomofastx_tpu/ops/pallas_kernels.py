@@ -19,14 +19,19 @@ Two layouts:
 2. Tile-union layout (``tile_matvec``, round-2): rows are grouped in tiles
    of TM; each tile stores the UNION of its rows' block lists once
    (ubidx (ntiles, BU)) and the values per row per union block
-   (uvals (ntiles, TM, BU, 128), zero where a row does not use a block).
+   (uvals (ntiles, BU, TM, 128), zero where a row does not use a block).
    Wavelet rows of nearby observation points share most blocks (coarse
    scales are kept by every row — the same heavy-tail the reference's nnz
-   histogram shows, sensitivity_gravmag.F90:378-392), so BU ~ B, and the
-   kernel needs ONE scalar-indexed x load per (tile, block) instead of TM:
-   the load count drops by TM x and each load is amortized over a
-   (TM, 128) FMA. HBM traffic ~ nnz-bound -> beats the dense GEMV by
-   ~1/(block fill rate) at production compression rates.
+   histogram shows, sensitivity_gravmag.F90:378-392), so BU ~ B.
+
+   The kernel uses a scalar-prefetched grid (PrefetchScalarGridSpec): the
+   block-id table ubidx lives in SMEM and drives the *index maps* of the
+   x and uvals operands, so every load is a pipeline-issued, double-
+   buffered DMA (no scalar-indexed loads inside the body at all — the
+   round-1 kernel's failure mode). Per grid step (tile i, union slot b)
+   the body is one (TM, 128) FMA into a VMEM accumulator. HBM traffic is
+   ~ block-fill-bound -> beats the dense GEMV by ~1/(block fill rate) at
+   production compression rates.
 """
 
 from __future__ import annotations
@@ -111,7 +116,7 @@ def blocked_matvec_xla(bvals, bidx, x):
 def pack_tile_union(S: np.ndarray, tm: int = 8):
     """Pack a dense (nrows, N) matrix into the tile-union block layout.
 
-    Returns (uvals (ntiles, tm, BU, 128) f32, ubidx (ntiles, BU) i32,
+    Returns (uvals (ntiles, BU, tm, 128) f32, ubidx (ntiles, BU) i32,
     nrows). Rows are tiled in natural order (neighboring observation rows
     share wavelet support); each tile's block list is the union of its
     rows' nonzero 128-blocks, padded to the max tile width BU with
@@ -131,57 +136,83 @@ def pack_tile_union(S: np.ndarray, tm: int = 8):
     BU = max(1, int(counts.max()))
 
     ubidx = np.zeros((ntiles, BU), np.int32)
-    uvals = np.zeros((ntiles, tm, BU, BLOCK), np.float32)
+    uvals = np.zeros((ntiles, BU, tm, BLOCK), np.float32)
     for t in range(ntiles):
         blocks = np.nonzero(used[t])[0]
         ubidx[t, : blocks.size] = blocks
-        uvals[t, :, : blocks.size, :] = Sb[t, :, blocks, :].transpose(1, 0, 2)
+        uvals[t, : blocks.size] = Sb[t, :, blocks, :]  # (nb_t, tm, 128)
     return uvals, ubidx, nrows
 
 
-def _tile_matvec_kernel(ubidx_ref, uvals_ref, x_ref, out_ref):
-    """ubidx_ref: (1, BU) int32 SMEM; uvals_ref: (1, TM, BU, 128) VMEM;
-    x_ref: (NB, 128) VMEM (whole vector); out_ref: (1, TM).
+def _tile_matvec_kernel(ubidx_ref, uvals_ref, x_ref, out_ref, acc_ref):
+    """Grid (ntiles, BU); ubidx is scalar-prefetched (drives the index
+    maps — every operand block is a pipeline-issued DMA). Per step: one
+    (TM, 128) FMA into the VMEM accumulator; the lane reduction happens
+    once per tile on the last union slot."""
+    b = pl.program_id(1)
 
-    One scalar-indexed (1, 128) load per union block, amortized over the
-    (TM, 128) FMA — the fix for the row layout's TM serialized loads."""
-    _, TM, BU, _ = uvals_ref.shape
+    @pl.when(b == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def body(b, acc):
-        xblk = x_ref[pl.ds(ubidx_ref[0, b], 1), :]  # (1, 128)
-        return acc + uvals_ref[0, :, b, :].astype(jnp.float32) * xblk
+    acc_ref[...] += uvals_ref[0, 0].astype(jnp.float32) * x_ref[0, 0, :][None, :]
 
-    acc = jax.lax.fori_loop(
-        0, BU, body, jnp.zeros((TM, BLOCK), jnp.float32)
-    )
-    out_ref[0, :] = jnp.sum(acc, axis=1)
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _reduce():
+        out_ref[0, 0, :] = jnp.sum(acc_ref[...], axis=1)
 
 
-@jax.jit
-def tile_matvec(uvals: jax.Array, ubidx: jax.Array, x: jax.Array) -> jax.Array:
+# SMEM budget for the prefetched ubidx table per pallas_call; larger tables
+# chunk the tile axis and lax.map over groups (one compile, same kernel).
+_SMEM_IDX_BUDGET = 1 << 19  # 512 KiB
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "smem_budget"))
+def tile_matvec(uvals: jax.Array, ubidx: jax.Array, x: jax.Array,
+                interpret: bool = False, smem_budget: int = None) -> jax.Array:
     """y = S @ x through the tile-union layout. Returns (ntiles * TM,)
-    (caller slices off row padding)."""
-    ntiles, TM, BU, bs = uvals.shape
+    (caller slices off row padding). interpret=True runs the Pallas
+    interpreter (CPU tests)."""
+    ntiles, BU, TM, bs = uvals.shape
     assert bs == BLOCK
     N = x.shape[0]
     assert N % BLOCK == 0
     NB = N // BLOCK
+    xb = x.astype(jnp.float32).reshape(NB, 1, BLOCK)
 
-    grid_spec = pl.GridSpec(
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, BU), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TM, BU, BLOCK), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NB, BLOCK), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, TM), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )
+    def call(uv, ub):
+        nt = uv.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt, BU),
+            in_specs=[
+                pl.BlockSpec((1, 1, TM, BLOCK), lambda i, b, ubr: (i, b, 0, 0)),
+                pl.BlockSpec((1, 1, BLOCK), lambda i, b, ubr: (ubr[i, b], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, TM), lambda i, b, ubr: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((TM, BLOCK), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _tile_matvec_kernel,
+            out_shape=jax.ShapeDtypeStruct((nt, 1, TM), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(ub, uv, xb)
 
-    out = pl.pallas_call(
-        _tile_matvec_kernel,
-        out_shape=jax.ShapeDtypeStruct((ntiles, TM), jnp.float32),
-        grid_spec=grid_spec,
-    )(ubidx, uvals, x.astype(jnp.float32).reshape(NB, BLOCK))
+    idx_bytes = ntiles * BU * 4
+    groups = int(np.ceil(idx_bytes / (smem_budget or _SMEM_IDX_BUDGET)))
+    while ntiles % groups:  # need an even tile split
+        groups += 1
+    if groups == 1:
+        out = call(uvals, ubidx)
+    else:
+        out = jax.lax.map(
+            lambda args: call(*args),
+            (
+                uvals.reshape(groups, ntiles // groups, BU, TM, BLOCK),
+                ubidx.reshape(groups, ntiles // groups, BU),
+            ),
+        )
     return out.reshape(-1)
 
 
@@ -192,4 +223,4 @@ def tile_matvec_xla(uvals, ubidx, x):
     NB = x.shape[0] // BLOCK
     xb = x.reshape(NB, BLOCK)
     g = xb[ubidx]  # (ntiles, BU, 128)
-    return jnp.einsum("tmbk,tbk->tm", uvals, g.astype(uvals.dtype)).reshape(-1).astype(jnp.float32)
+    return jnp.einsum("tbmk,tbk->tm", uvals, g.astype(uvals.dtype)).reshape(-1).astype(jnp.float32)

@@ -39,20 +39,29 @@ def _use_pallas() -> bool:
 
 @dataclass
 class TileKernel:
-    """Block-sparse operator (nrows x ncols), tile-union packed both ways."""
+    """Block-sparse operator (nrows x ncols), tile-union packed both ways.
 
-    uvals: jax.Array  # (ntiles_r, TM, BU, 128) forward values
+    sharded=True marks a mesh-placed kernel (parallel/mesh.py::shard_kernel:
+    both packs sharded over their tile axis). The contraction then uses the
+    XLA lowering — GSPMD partitions the gather+einsum over the tile axis
+    (x/u replicated, output all-gathered) exactly like the reference's
+    row/column-sharded CSR (lsqr_solver2.F90:228-245); pallas_call is a
+    custom call GSPMD cannot partition, so the Pallas fast path stays
+    single-device."""
+
+    uvals: jax.Array  # (ntiles_r, BU, TM, 128) forward values
     ubidx: jax.Array  # (ntiles_r, BU) int32 column-block ids
-    uvalsT: jax.Array  # (ntiles_c, TM, BUT, 128) adjoint values
+    uvalsT: jax.Array  # (ntiles_c, BUT, TM, 128) adjoint values
     ubidxT: jax.Array  # (ntiles_c, BUT) int32 row-block ids
     nrows: int
     ncols: int
+    sharded: bool = False
 
     def _contract(self, uvals, ubidx, x, n_in, n_out):
         npad = (-n_in) % BLOCK
         if npad:
             x = jnp.pad(x, (0, npad))
-        if _use_pallas() and x.dtype == jnp.float32:
+        if _use_pallas() and x.dtype == jnp.float32 and not self.sharded:
             y = tile_matvec(uvals, ubidx, x)
         else:
             # Contract in the solver dtype (f64 CPU tests accumulate in
@@ -60,7 +69,7 @@ class TileKernel:
             NB = x.shape[0] // BLOCK
             xb = x.reshape(NB, BLOCK)
             g = xb[ubidx]  # (ntiles, BU, 128)
-            y = jnp.einsum("tmbk,tbk->tm", uvals.astype(x.dtype), g).reshape(-1)
+            y = jnp.einsum("tbmk,tbk->tm", uvals.astype(x.dtype), g).reshape(-1)
         return y[:n_out]
 
     def matvec(self, x: jax.Array) -> jax.Array:
@@ -80,11 +89,11 @@ class TileKernel:
 
 
 def _tk_flatten(k: TileKernel):
-    return (k.uvals, k.ubidx, k.uvalsT, k.ubidxT), (k.nrows, k.ncols)
+    return (k.uvals, k.ubidx, k.uvalsT, k.ubidxT), (k.nrows, k.ncols, k.sharded)
 
 
 def _tk_unflatten(aux, children):
-    return TileKernel(*children, nrows=aux[0], ncols=aux[1])
+    return TileKernel(*children, nrows=aux[0], ncols=aux[1], sharded=aux[2])
 
 
 jax.tree_util.register_pytree_node(TileKernel, _tk_flatten, _tk_unflatten)
@@ -114,56 +123,63 @@ class TileKernelBuilder:
         self._scanned = False
 
     # ---- pass 1 ----
+    def scan_coo(self, r: np.ndarray, c: np.ndarray):
+        """Record block usage for nonzeros at (row r[i], col c[i]) —
+        vectorized over an arbitrary batch of entries (any order).
+        Shifts instead of // : numpy integer division is ~10x slower and
+        TM = 8, BLOCK = 128 are powers of two."""
+        r = np.asarray(r, np.int64)
+        c = np.asarray(c, np.int64)
+        self.used_f[r >> 3, c >> 7] = True
+        self.used_a[c >> 3, r >> 7] = True
+
     def scan_chunk(self, rows: np.ndarray, start_row: int):
         """rows: (B, ncols) dense row slab (transient); records block usage."""
-        B = rows.shape[0]
-        ncpad = (-self.ncols) % BLOCK
-        rb = np.pad(rows != 0.0, ((0, 0), (0, ncpad)))
-        rb = rb.reshape(B, self.nbc, BLOCK).any(axis=2)  # (B, nbc)
-        for b in range(B):
-            self.used_f[(start_row + b) // TM] |= rb[b]
-        # Adjoint: column c uses row-block (start_row + b) // 128.
-        cols_used = (rows != 0.0)  # (B, ncols)
-        for b in range(B):
-            r = start_row + b
-            cu = np.nonzero(cols_used[b])[0]
-            self.used_a[cu // TM, r // BLOCK] = True
+        rr, cc = np.nonzero(rows)
+        self.scan_coo(start_row + rr, cc)
 
     def finalize_scan(self):
-        self.BU = max(1, int(self.used_f.sum(axis=1).max()))
-        self.BUT = max(1, int(self.used_a.sum(axis=1).max()))
-        # Slot index maps: (tile, block) -> slot position or -1.
-        self.slot_f = np.full((self.ntr, self.nbc), -1, np.int32)
-        self.ubidx = np.zeros((self.ntr, self.BU), np.int32)
-        for t in range(self.ntr):
-            blocks = np.nonzero(self.used_f[t])[0]
-            self.slot_f[t, blocks] = np.arange(blocks.size)
-            self.ubidx[t, : blocks.size] = blocks
-        self.slot_a = np.full((self.ntc, self.nbr), -1, np.int32)
-        self.ubidxT = np.zeros((self.ntc, self.BUT), np.int32)
-        for t in range(self.ntc):
-            blocks = np.nonzero(self.used_a[t])[0]
-            self.slot_a[t, blocks] = np.arange(blocks.size)
-            self.ubidxT[t, : blocks.size] = blocks
-        self.uvals = np.zeros((self.ntr, TM, self.BU, BLOCK), np.float32)
-        self.uvalsT = np.zeros((self.ntc, TM, self.BUT, BLOCK), np.float32)
+        counts_f = self.used_f.sum(axis=1)
+        counts_a = self.used_a.sum(axis=1)
+        self.BU = max(1, int(counts_f.max()))
+        self.BUT = max(1, int(counts_a.max()))
+        # Slot index maps: (tile, block) -> slot position or -1. Stable
+        # argsort of ~used puts each tile's used block ids first, ascending.
+        self.slot_f, self.ubidx = _slots_from_usage(self.used_f, counts_f, self.BU)
+        self.slot_a, self.ubidxT = _slots_from_usage(self.used_a, counts_a, self.BUT)
+        self.uvals = np.zeros((self.ntr, self.BU, TM, BLOCK), np.float32)
+        self.uvalsT = np.zeros((self.ntc, self.BUT, TM, BLOCK), np.float32)
         self._scanned = True
 
     # ---- pass 2 ----
-    def fill_chunk(self, rows: np.ndarray, start_row: int):
+    def fill_coo(self, r: np.ndarray, c: np.ndarray, v: np.ndarray):
+        """Write values for nonzeros at (r[i], c[i]) — vectorized; entries
+        must be unique (each (r, c) written once), any order.
+
+        Flat-index scatter with shift/mask arithmetic: ~25x faster than the
+        equivalent 4-d fancy assignment (measured 22s -> <1s per 40M nnz;
+        numpy multi-axis fancy indexing re-derives flat offsets with slow
+        int64 division)."""
         assert self._scanned
-        B = rows.shape[0]
-        for b in range(B):
-            r = start_row + b
-            cols = np.nonzero(rows[b])[0]
-            vals = rows[b, cols].astype(np.float32)
-            # Forward: row r -> tile r//TM lane r%TM, slot of block c//128,
-            # lane c%128.
-            t = r // TM
-            self.uvals[t, r % TM, self.slot_f[t, cols // BLOCK], cols % BLOCK] = vals
-            # Adjoint: column c -> tile c//TM lane c%TM, slot of row-block
-            # r//128, lane r%128.
-            self.uvalsT[cols // TM, cols % TM, self.slot_a[cols // TM, r // BLOCK], r % BLOCK] = vals
+        v = v.astype(np.float32, copy=False)
+        r = np.asarray(r, np.int64)
+        c = np.asarray(c, np.int64)
+        # Forward: row r -> (tile r//8, slot of col block c//128, lane r%8,
+        # lane c%128).
+        t = r >> 3
+        slot = self.slot_f[t, c >> 7].astype(np.int64)
+        flat = ((t * self.BU + slot) << 3 | (r & 7)) << 7 | (c & 127)
+        self.uvals.ravel()[flat] = v
+        # Adjoint: column c -> (tile c//8, slot of row block r//128, lane
+        # c%8, lane r%128).
+        tc = c >> 3
+        slota = self.slot_a[tc, r >> 7].astype(np.int64)
+        flata = ((tc * self.BUT + slota) << 3 | (c & 7)) << 7 | (r & 127)
+        self.uvalsT.ravel()[flata] = v
+
+    def fill_chunk(self, rows: np.ndarray, start_row: int):
+        rr, cc = np.nonzero(rows)
+        self.fill_coo(start_row + rr, cc, rows[rr, cc])
 
     def build(self) -> TileKernel:
         return TileKernel(
@@ -174,6 +190,21 @@ class TileKernelBuilder:
             nrows=self.nrows,
             ncols=self.ncols,
         )
+
+
+def _slots_from_usage(used: np.ndarray, counts: np.ndarray, width: int):
+    """(ntiles, nblocks) usage bitmap -> (slot map (ntiles, nblocks) int32
+    with -1 for unused, ubidx (ntiles, width) int32 padded with 0)."""
+    ntiles, nblocks = used.shape
+    order = np.argsort(~used, axis=1, kind="stable")  # used ids first, asc
+    pos = np.arange(nblocks)
+    mask = pos[None, :] < counts[:, None]
+    slot = np.full((ntiles, nblocks), -1, np.int32)
+    tiles = np.broadcast_to(np.arange(ntiles)[:, None], order.shape)
+    posb = np.broadcast_to(pos[None, :], order.shape)
+    slot[tiles[mask], order[mask]] = posb[mask]
+    ubidx = np.where(mask[:, :width], order[:, :width], 0).astype(np.int32)
+    return slot, ubidx
 
 
 def pack_tiles(S: np.ndarray) -> TileKernel:
@@ -198,21 +229,63 @@ def tile_kernel_from_cache(cache_dir: str, par, grid) -> tuple:
     N = meta["nx"] * meta["ny"] * meta["nz"]
     nrows, ncols = nd * ndc, nmc * N
 
+    # COO-buffered streaming (no dense row materialization): records are
+    # batched into ~4M-entry triplet buffers and flushed vectorized.
+    FLUSH = 4 << 20
     b = TileKernelBuilder(nrows, ncols)
-    row = np.zeros((1, ncols), np.float32)
-    for idata, d, k, cols, vals in iter_cache_rows(cache_dir, meta):
-        row[:] = 0.0
-        row[0, k * N + cols] = vals
-        b.scan_chunk(row, idata * ndc + d)
+
+    def stream(consume, with_vals):
+        buf_r, buf_c, buf_v, size = [], [], [], 0
+        nnz = 0
+        for idata, d, k, cols, vals in iter_cache_rows(cache_dir, meta):
+            nnz += cols.size
+            buf_r.append(np.full(cols.size, idata * ndc + d, np.int64))
+            buf_c.append(k * N + cols.astype(np.int64))
+            if with_vals:
+                buf_v.append(vals)
+            size += cols.size
+            if size >= FLUSH:
+                consume(np.concatenate(buf_r), np.concatenate(buf_c),
+                        np.concatenate(buf_v) if with_vals else None)
+                buf_r, buf_c, buf_v, size = [], [], [], 0
+        if size:
+            consume(np.concatenate(buf_r), np.concatenate(buf_c),
+                    np.concatenate(buf_v) if with_vals else None)
+        return nnz
+
+    stream(lambda r, c, v: b.scan_coo(r, c), with_vals=False)
     b.finalize_scan()
-    nnz = 0
-    for idata, d, k, cols, vals in iter_cache_rows(cache_dir, meta):
-        row[:] = 0.0
-        row[0, k * N + cols] = vals
-        nnz += cols.size
-        b.fill_chunk(row, idata * ndc + d)
-    meta["nnz"] = nnz
+    meta["nnz"] = stream(lambda r, c, v: b.fill_coo(r, c, v), with_vals=True)
     return b.build(), meta
+
+
+def pad_tiles_for_mesh(tk: TileKernel, n: int) -> TileKernel:
+    """Pad both packs' tile axes to a multiple of n devices.
+
+    Padding tiles have ubidx 0 and zero values; their output rows land
+    beyond nrows/ncols and are sliced off by the y[:n_out] in _contract —
+    the tile-layout counterpart of pad-to-multiple sharding
+    (parallel_tools.f90:46-63 arbitrary-N partition). Returns tk unchanged
+    when both tile axes already divide."""
+
+    def padn(x):
+        pad = (-x.shape[0]) % n
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    if tk.uvals.shape[0] % n == 0 and tk.uvalsT.shape[0] % n == 0:
+        return tk
+    return TileKernel(
+        uvals=padn(tk.uvals),
+        ubidx=padn(tk.ubidx),
+        uvalsT=padn(tk.uvalsT),
+        ubidxT=padn(tk.ubidxT),
+        nrows=tk.nrows,
+        ncols=tk.ncols,
+        sharded=tk.sharded,
+    )
 
 
 def apply_row_weights_tiled(tk: TileKernel, wrow: np.ndarray) -> TileKernel:
@@ -223,14 +296,14 @@ def apply_row_weights_tiled(tk: TileKernel, wrow: np.ndarray) -> TileKernel:
     ntr = tk.uvals.shape[0]
     w_pad = np.zeros(ntr * TM, np.float32)
     w_pad[: tk.nrows] = w
-    wf = jnp.asarray(w_pad.reshape(ntr, TM, 1, 1))
-    # Adjoint values are indexed (col tile, col lane, row-block slot, row
+    wf = jnp.asarray(w_pad.reshape(ntr, 1, TM, 1))
+    # Adjoint values are indexed (col tile, row-block slot, col lane, row
     # lane): weight by the ROW id = ubidxT * 128 + lane.
     nbr_pad = ((tk.nrows + BLOCK - 1) // BLOCK) * BLOCK
     w_rows = np.zeros(nbr_pad, np.float32)
     w_rows[: tk.nrows] = w
     w_blocks = jnp.asarray(w_rows.reshape(-1, BLOCK))  # (nbr, 128)
-    wa = w_blocks[tk.ubidxT][:, None, :, :]  # (ntc, 1, BUT, 128)
+    wa = w_blocks[tk.ubidxT][:, :, None, :]  # (ntc, BUT, 1, 128)
     return TileKernel(
         uvals=tk.uvals * wf,
         ubidx=tk.ubidx,

@@ -69,6 +69,7 @@ def shard_kernel(k, mesh: Mesh):
         pad_dense_columns,
         pad_packed_for_mesh,
     )
+    from tomofastx_tpu.ops.tile_kernel import TileKernel, pad_tiles_for_mesh
 
     n = mesh.devices.size
 
@@ -95,6 +96,25 @@ def shard_kernel(k, mesh: Mesh):
             light_idx=put(k.light_idx, P(CELLS_AXIS, None)),
             nrows=k.nrows,
             ncols=k.ncols,
+        )
+
+    if isinstance(k, TileKernel):
+        # Both tile-union packs shard over their tile axis: the forward
+        # pack by observation-row tiles (the reference's data-row split,
+        # sensitivity_gravmag.F90:179-189), the adjoint pack by cell-column
+        # tiles (the column-sharded adjoint, lsqr_solver2.F90:228-245).
+        # x/u replicate; GSPMD all-gathers the tile-local outputs.
+        from tomofastx_tpu.ops.tile_kernel import TileKernel as TK
+
+        k = pad_tiles_for_mesh(k, n)
+        return TK(
+            uvals=put(k.uvals, P(CELLS_AXIS)),
+            ubidx=put(k.ubidx, P(CELLS_AXIS)),
+            uvalsT=put(k.uvalsT, P(CELLS_AXIS)),
+            ubidxT=put(k.ubidxT, P(CELLS_AXIS)),
+            nrows=k.nrows,
+            ncols=k.ncols,
+            sharded=True,
         )
 
     if isinstance(k, MatrixFreeKernel):
