@@ -45,39 +45,10 @@ def level_1d(n, L):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_capacity import NX, NY, NZ, get_kernel
 
-    from tomofastx_tpu.config.parfile import GravParams
-    from tomofastx_tpu.models.data import SurveyData
-    from tomofastx_tpu.models.grid import Grid
-    from tomofastx_tpu.ops import sensitivity as sens
-
-    NX = NY = NZ = 64
-    ND = 4096
-    h = 100.0
-    i = np.tile(np.arange(NX), NY * NZ)
-    j = np.tile(np.repeat(np.arange(NY), NX), NZ)
-    k = np.repeat(np.arange(NZ), NX * NY)
-    grid = Grid(nx=NX, ny=NY, nz=NZ, X1=i * h, X2=(i + 1) * h,
-                Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
-    n_side = 64
-    xs = (np.arange(n_side) + 0.5) * (NX * h / n_side)
-    X, Y = np.meshgrid(xs, xs, indexing="ij")
-    data = SurveyData(ndata=ND, ncomponents=1)
-    data.X, data.Y, data.Z = X.ravel(), Y.ravel(), np.full(ND, -0.1)
-    par = GravParams(nx=NX, ny=NY, nz=NZ, ndata=ND, depth_weighting_type=1,
-                     compression_type=1, compression_rate=0.15, Z0=0.1,
-                     depth_weighting_power=2.0)
-    cw = sens.calculate_depth_weight(par, grid, data, jnp.float32)
-
-    print("building kernel...", file=sys.stderr, flush=True)
-    t0 = time.time()
-    kern = sens.compute_sensitivity(par, grid, data, cw,
-                                    compute_dtype=jnp.float32,
-                                    store_dtype=jnp.float32, batch_size=256)
-    print(f"built in {time.time() - t0:.0f}s", file=sys.stderr, flush=True)
-    S = np.asarray(kern.S, np.float32)
+    S = get_kernel()  # disk-cached across scripts (see bench_capacity.py)
     mask = S != 0.0
     np.savez_compressed("/tmp/kernel_mask.npz", mask=np.packbits(mask, axis=1),
                         shape=np.array(mask.shape))

@@ -292,21 +292,26 @@ def _build_solve_fn(spec: SystemSpec):
                     parts.append(S[a].matvec(xw))
             for a, i in enumerate(spec.active):
                 if a in damping_ops:
-                    parts.append(damping_ops[a].matvec(segs[a]))
+                    with jax.named_scope(f"damping_matvec_{i}"):
+                        parts.append(damping_ops[a].matvec(segs[a]))
                 if a in dampgrad_ops:
-                    for (k, d, op) in dampgrad_ops[a]:
-                        parts.append(op.matvec(segs[a][k].reshape(cube_shape)))
+                    with jax.named_scope(f"damping_gradient_matvec_{i}"):
+                        for (k, d, op) in dampgrad_ops[a]:
+                            parts.append(op.matvec(segs[a][k].reshape(cube_shape)))
             for a, i in enumerate(spec.active):
                 if a in admm_ops:
-                    parts.append(admm_ops[a].matvec(segs[a][spec.admm_comp : spec.admm_comp + 1]))
+                    with jax.named_scope(f"admm_matvec_{i}"):
+                        parts.append(admm_ops[a].matvec(segs[a][spec.admm_comp : spec.admm_comp + 1]))
             if xgrad_op is not None:
-                parts.append(
-                    xgrad_op.matvec(
-                        segs[0][0].reshape(cube_shape), segs[1][0].reshape(cube_shape)
+                with jax.named_scope("cross_gradient_matvec"):
+                    parts.append(
+                        xgrad_op.matvec(
+                            segs[0][0].reshape(cube_shape), segs[1][0].reshape(cube_shape)
+                        )
                     )
-                )
             for t, op in clustering_ops.items():
-                parts.append(op.dcoef * segs[t][0])
+                with jax.named_scope(f"clustering_matvec_{t}"):
+                    parts.append(op.dcoef * segs[t][0])
             return jnp.concatenate(parts)
 
         def rmatvec(u):
@@ -323,28 +328,33 @@ def _build_solve_fn(spec: SystemSpec):
             for a, i in enumerate(spec.active):
                 if a in damping_ops:
                     rows = spec.ncomp * spec.N
-                    out[a] = out[a] + damping_ops[a].rmatvec(u[pos : pos + rows])
+                    with jax.named_scope(f"damping_rmatvec_{i}"):
+                        out[a] = out[a] + damping_ops[a].rmatvec(u[pos : pos + rows])
                     pos += rows
                 if a in dampgrad_ops:
-                    for (k, d, op) in dampgrad_ops[a]:
-                        rows = spec.N
-                        out[a] = out[a].at[k].add(op.rmatvec(u[pos : pos + rows]).reshape(-1))
-                        pos += rows
+                    with jax.named_scope(f"damping_gradient_rmatvec_{i}"):
+                        for (k, d, op) in dampgrad_ops[a]:
+                            rows = spec.N
+                            out[a] = out[a].at[k].add(op.rmatvec(u[pos : pos + rows]).reshape(-1))
+                            pos += rows
             for a, i in enumerate(spec.active):
                 if a in admm_ops:
                     rows = spec.N
-                    contrib = admm_ops[a].rmatvec(u[pos : pos + rows])
-                    out[a] = out[a].at[spec.admm_comp].add(contrib.reshape(-1))
+                    with jax.named_scope(f"admm_rmatvec_{i}"):
+                        contrib = admm_ops[a].rmatvec(u[pos : pos + rows])
+                        out[a] = out[a].at[spec.admm_comp].add(contrib.reshape(-1))
                     pos += rows
             if xgrad_op is not None:
                 rows = 3 * spec.N
-                g1, g2 = xgrad_op.rmatvec(u[pos : pos + rows])
-                out[0] = out[0].at[0].add(g1.reshape(-1))
-                out[1] = out[1].at[0].add(g2.reshape(-1))
+                with jax.named_scope("cross_gradient_rmatvec"):
+                    g1, g2 = xgrad_op.rmatvec(u[pos : pos + rows])
+                    out[0] = out[0].at[0].add(g1.reshape(-1))
+                    out[1] = out[1].at[0].add(g2.reshape(-1))
                 pos += rows
             for t, op in clustering_ops.items():
                 rows = spec.N
-                out[t] = out[t].at[0].add(op.dcoef * u[pos : pos + rows])
+                with jax.named_scope(f"clustering_rmatvec_{t}"):
+                    out[t] = out[t].at[0].add(op.dcoef * u[pos : pos + rows])
                 pos += rows
             return jnp.concatenate([o.reshape(-1) for o in out])
 

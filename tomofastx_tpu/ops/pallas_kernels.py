@@ -29,9 +29,16 @@ Two layouts:
    x and uvals operands, so every load is a pipeline-issued, double-
    buffered DMA (no scalar-indexed loads inside the body at all — the
    round-1 kernel's failure mode). Per grid step (tile i, union slot b)
-   the body is one (TM, 128) FMA into a VMEM accumulator. HBM traffic is
-   ~ block-fill-bound -> beats the dense GEMV by ~1/(block fill rate) at
-   production compression rates.
+   the body is one (TM, 128) FMA into a VMEM accumulator.
+
+MEASURED OUTCOME (v5e, real 4096 x 262k rate-0.15 kernel — BASELINE.md
+round-2 table): the real wavelet keep-set scatters ~19 nonzeros per
+128-block with NO block clustering in any ordering, so the tile-union pack
+stores ~the dense matrix, and the 4 KB-per-step DMA granularity bounds the
+kernel at 22 GB/s vs the dense GEMV's 495 GB/s. These kernels are kept as
+measured evidence and for genuinely block-structured operators; the
+production speed path is the dense GEMV and the production capacity path
+is the matrix-free operator (ops/matrixfree.py).
 """
 
 from __future__ import annotations

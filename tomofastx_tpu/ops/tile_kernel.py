@@ -10,10 +10,14 @@ for the layout and the TPU kernel):
   gather-free streaming reads (the reference's column-sharded adjoint is
   similarly "free by construction", lsqr_solver2.F90:228-245).
 
-Memory is nnz-bound (block-fill overhead ~2-4x over raw nnz for wavelet
-kernels), NOT dense-bound: a 8192 x 1M kernel that is 34 GB dense fits in
-a few GB packed — the TPU counterpart of the reference's compressed-CSR
-memory model (sparse_matrix.f90).
+MEASURED CAVEAT (BASELINE.md round-2 shootout): on real wavelet-compressed
+sensitivity kernels the keep-set scatters uniformly (~rate per 128-block,
+no clustering in flat or Mallat order), so this layout stores ~the dense
+matrix and its matvec loses to the dense GEMV by 7-20x. It remains the
+right structure for genuinely block-sparse operators and as the
+cache-interop streaming reader; for capacity beyond HBM use the
+matrix-free operator (ops/matrixfree.py), the reference's compressed-CSR
+memory model (sparse_matrix.f90) re-expressed as recompute-on-the-fly.
 
 Packing is streaming: `TileKernelBuilder` consumes (nd, ndc, nmc, N) row
 chunks (from the build loop or the sensit cache reader) in two passes and
