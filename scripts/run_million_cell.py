@@ -41,6 +41,10 @@ def write_grid_file_fast(path, nx, ny, nz, hx, hy, hz):
 
 def main():
     import jax
+
+    # x64 before any tracing: the mixed-precision build patches the
+    # near-field rows in f64 (cli.py:98-103 does the same for the CLI).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     small = os.environ.get("MC_SMALL", "0") == "1"
