@@ -112,15 +112,39 @@ def main():
         "inversion.minResidual = 1e-13\n",
         "inversion.modelDamping.grav.weight = 1e-11\n",
     ]
+    # Reuse a kernel cache left by a previous (possibly failed) run: the
+    # build is ~14 min on the tunnel, the cache read ~1 min.
+    if os.path.exists(f"{work}/out/SENSIT/sensit_grav_meta.txt"):
+        print("reusing existing sensitivity cache", flush=True)
+        lines += ["sensit.readFromFiles = 1\n", "sensit.folderPath = out/SENSIT/\n"]
     cfg = parse_parfile_lines(lines)
 
     out = {"ncells": N, "ndata": nd, "majors": majors, "minors": minors,
            "backend": jax.default_backend()}
 
     t0 = time.time()
-    res = solve_problem_joint_gravmag(
-        cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=1024,
-    )
+    try:
+        res = solve_problem_joint_gravmag(
+            cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=1024,
+        )
+        out["loop_mode"] = "fused(10)"
+    except Exception as e:
+        # The fused lax.scan program at 1M cells can overwhelm the axon
+        # remote-compile helper (observed: HTTP 500, tpu_compile_helper
+        # exit 1). Fall back to the host-driven major loop, reloading the
+        # kernel from the cache the failed attempt already wrote.
+        print(f"fused path failed ({str(e)[:120]}); retrying host-driven "
+              f"with cached kernel", flush=True)
+        out["fused_error"] = str(e)[:200]
+        out["loop_mode"] = "host-driven"
+        cfg2 = parse_parfile_lines(lines + [
+            "sensit.readFromFiles = 1\n",
+            "sensit.folderPath = out/SENSIT/\n",
+        ])
+        t0 = time.time()
+        res = solve_problem_joint_gravmag(
+            cfg2, base_dir=work, verbose=True, near_field_f64=1024,
+        )
     wall = time.time() - t0
     out["wall_s"] = round(wall, 1)
     out["final_cost_data"] = float(res.cost_data[0])

@@ -365,11 +365,17 @@ def solve_problem_joint_gravmag(
             write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
 
         # Bake in problem weight x data weights (sensitivity_gravmag.F90:836-843).
+        # apply_row_weights donates the unweighted S buffer — on a 16 GB
+        # chip a 1M-cell kernel (8.5 GB) cannot exist twice.
         ctx.kernel = sens.apply_row_weights(
             kernel, ipar.problem_weight[i], ctx.data.weight
         )
-        # Cast once to the solver dtype for the LSQR matvecs.
-        ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
+        kernel = None
+        # Cast once to the solver dtype for the LSQR matvecs. Guarded:
+        # jnp.astype copies even for the SAME dtype (numpy copy=True
+        # semantics) — an 8.5 GB f32->f32 "cast" OOMed the 16 GB chip.
+        if ctx.kernel.S.dtype != solve_dtype:
+            ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
 
     def _kernel_operator(ctx):
         """Solver-side operator: the packed/matrix-free operators are built

@@ -490,12 +490,24 @@ def compute_sensitivity(
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scale_rows_donated(S, w):
+    # Donated S: XLA aliases the output onto the input buffer, so weighting
+    # a multi-GB kernel does not hold two copies in HBM (a 1M-cell kernel
+    # is 8.5 GB on a 16 GB chip — the 2x peak OOMed at compile time).
+    return S * w[:, None]
+
+
 def apply_row_weights(kernel: SensitKernel, problem_weight: float, data_weight: np.ndarray) -> SensitKernel:
     """Bake problem_weight * data_weight into the matrix rows, in storage
     precision (reference: read_sensitivity_kernel,
-    sensitivity_gravmag.F90:836-843). data_weight: (ndata, ndc)."""
+    sensitivity_gravmag.F90:836-843). data_weight: (ndata, ndc).
+
+    The input kernel's S buffer is DONATED (freed); kernel.S is set to None
+    so stale references cannot be used."""
     wrow = (problem_weight * np.asarray(data_weight)).reshape(-1).astype(np.float32)
-    S = kernel.S * jnp.asarray(wrow, kernel.S.dtype)[:, None]
+    S = _scale_rows_donated(kernel.S, jnp.asarray(wrow, kernel.S.dtype))
+    kernel.S = None
     return SensitKernel(
         S=S,
         ndata=kernel.ndata,
