@@ -126,6 +126,7 @@ def main():
     try:
         res = solve_problem_joint_gravmag(
             cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=1024,
+            solve_dtype=jnp.float32,  # production policy: f64 build, f32 solve
         )
         out["loop_mode"] = "fused(10)"
     except Exception as e:
@@ -144,6 +145,7 @@ def main():
         t0 = time.time()
         res = solve_problem_joint_gravmag(
             cfg2, base_dir=work, verbose=True, near_field_f64=1024,
+            solve_dtype=jnp.float32,
         )
     wall = time.time() - t0
     out["wall_s"] = round(wall, 1)
