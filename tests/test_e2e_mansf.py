@@ -136,3 +136,29 @@ def test_mansfield_truth_correlation(tmp_path):
     corr = np.corrcoef(res.models[0].val.ravel(), true_vals.ravel())[0, 1]
     assert corr >= 0.81, f"truth correlation regressed: {corr:.4f}"
     assert res.cost_data[0] < 1e-6
+
+
+def test_bf16_kernel_store_mode(tmp_path):
+    """tpu.kernelStoreDtype = bfloat16: the solve runs with a bf16-stored
+    kernel (f32 vectors, XLA-promoted matvec) and stays close to the f32
+    solution — the capacity/speed trade documented in BASELINE.md (bf16
+    matvec relerr ~1.7e-3 bounds the model deviation through 100 LSQR
+    iterations)."""
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/bf16/"
+    cfg.inversion.ninversions = 3
+    cfg.grav.kernel_store = "bfloat16"
+    cfg.magn.kernel_store = "bfloat16"
+    res_b = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg2 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg2.path_output = str(tmp_path) + "/f32/"
+    cfg2.inversion.ninversions = 3
+    res_f = solve_problem_joint_gravmag(cfg2, base_dir=REF, verbose=False)
+
+    m_b = res_b.models[0].val.ravel()
+    m_f = res_f.models[0].val.ravel()
+    # bf16 perturbs the operator at ~1.7e-3: same solution up to that scale.
+    assert np.corrcoef(m_b, m_f)[0, 1] > 0.999
+    rel = np.linalg.norm(m_b - m_f) / np.linalg.norm(m_f)
+    assert rel < 0.05, f"bf16 kernel store deviates {rel:.3f} from f32"

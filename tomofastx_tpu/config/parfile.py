@@ -83,6 +83,11 @@ class GravParams:
     # TPU extension: solver-side kernel representation
     # ("dense" = MXU matmul; "packed" = top-k gather layout; "auto").
     kernel_format: str = "dense"
+    # Kernel storage dtype on device: "float32" (default) or "bfloat16".
+    # bf16 halves HBM (2x capacity) and reads ~1.5x faster through the XLA
+    # convert-fused GEMV (measured, BASELINE.md round-2); matvec relerr
+    # ~1.7e-3 — validate inversion quality before production use.
+    kernel_store: str = "float32"
 
     @property
     def nelements_total(self) -> int:
@@ -482,6 +487,11 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         inv.clustering_constraints_type = ival(val)
     elif K == "tpu.kernelFormat":
         g.kernel_format = m.kernel_format = sval(val)
+    elif K == "tpu.kernelStoreDtype":
+        v = sval(val)
+        if v not in ("float32", "bfloat16"):
+            raise ValueError(f"tpu.kernelStoreDtype must be float32 or bfloat16, got {v}")
+        g.kernel_store = m.kernel_store = v
     elif K == "output.paraview.grav.modelLabel":
         g.vtk_model_label = sval(val)
     elif K == "output.paraview.magn.modelLabel":

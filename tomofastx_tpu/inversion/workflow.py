@@ -371,11 +371,20 @@ def solve_problem_joint_gravmag(
             kernel, ipar.problem_weight[i], ctx.data.weight
         )
         kernel = None
-        # Cast once to the solver dtype for the LSQR matvecs. Guarded:
+        # Cast once to the storage dtype for the LSQR matvecs. Guarded:
         # jnp.astype copies even for the SAME dtype (numpy copy=True
         # semantics) — an 8.5 GB f32->f32 "cast" OOMed the 16 GB chip.
-        if ctx.kernel.S.dtype != solve_dtype:
-            ctx.kernel.S = ctx.kernel.S.astype(solve_dtype)
+        # tpu.kernelStoreDtype = bfloat16 halves the kernel's HBM (2x
+        # capacity) and speeds the matvec ~1.5x through XLA's
+        # convert-fused GEMV (bf16 S promoted against the f32 solve
+        # vectors in registers, never materialized — BASELINE.md round-2
+        # bf16 table); matvec relerr ~1.7e-3.
+        store_dtype = (
+            jnp.bfloat16 if getattr(par, "kernel_store", "float32") == "bfloat16"
+            else solve_dtype
+        )
+        if ctx.kernel.S.dtype != store_dtype:
+            ctx.kernel.S = ctx.kernel.S.astype(store_dtype)
 
     def _kernel_operator(ctx):
         """Solver-side operator: the packed/matrix-free operators are built
