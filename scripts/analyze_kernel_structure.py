@@ -18,7 +18,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
+# Persistent compile cache: the env var is IGNORED on this JAX build —
+# must go through jax.config (tomofastx_tpu/utils/compile_cache.py).
+import jax  # noqa: E402
+
+from tomofastx_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 import numpy as np
 

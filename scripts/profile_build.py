@@ -19,7 +19,13 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache"))
+# Persistent compile cache: the env var is IGNORED on this JAX build —
+# must go through jax.config (tomofastx_tpu/utils/compile_cache.py).
+import jax  # noqa: E402
+
+from tomofastx_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
 
 import jax
 
@@ -99,9 +105,12 @@ def main():
             x.astype(jnp.float64), y.astype(jnp.float64),
             z.astype(jnp.float64), *ga64))(xd, yd, zd)
 
-    t = timeit(rows_f64, xd, yd, zd)
-    res["prism_f64_s"] = round(t, 3)
-    print(f"prism full f64: {t:.3f} s/chunk ({B / t:.0f} rows/s)", flush=True)
+    # Full-f64 at B=256 OOMs the 16 GB chip (emulated-f64 temps); time a
+    # smaller chunk and report the per-row rate.
+    B64 = 32
+    t = timeit(rows_f64, xd[:B64], yd[:B64], zd[:B64])
+    res["prism_f64_s_per_row"] = round(t / B64, 4)
+    print(f"prism full f64: {t:.3f} s/{B64}-chunk ({B64 / t:.1f} rows/s)", flush=True)
 
     lines = jnp.asarray(np.random.default_rng(0).normal(size=(B, N)).astype(np.float32))
 

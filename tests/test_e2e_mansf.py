@@ -162,3 +162,86 @@ def test_bf16_kernel_store_mode(tmp_path):
     assert np.corrcoef(m_b, m_f)[0, 1] > 0.999
     rel = np.linalg.norm(m_b - m_f) / np.linalg.norm(m_f)
     assert rel < 0.05, f"bf16 kernel store deviates {rel:.3f} from f32"
+
+
+def test_mansfield_truth_correlation_fast_build(tmp_path):
+    """Same anchor for the PRODUCTION TPU build mode (--fast-build: f32
+    physics + f64 near-field patch, wavelet/top_k in f32 since the stored
+    kernel is f32 anyway). Guards the mixed build's quality claim: the
+    near-field patch is what restores f64-build inversion quality
+    (BASELINE.md precision study)."""
+    from tomofastx_tpu.io import model_io
+
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/"
+    res = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, near_field_f64=1024
+    )
+
+    true_vals = model_io.read_model_values(
+        f"{REF}/data/gravmag/mansf_slice/true_model_grav_3litho-values.txt", 8192, 1
+    )
+    corr = np.corrcoef(res.models[0].val.ravel(), true_vals.ravel())[0, 1]
+    # Measured anchor 0.806 (vs 0.8142 full-f64 build; an unpatched f32
+    # build collapses to 0.724) — the mixed mode's inherent gap, identical
+    # for the f64 and f32 compression pipelines (A/B in BASELINE.md).
+    assert corr >= 0.80, f"fast-build truth correlation regressed: {corr:.4f}"
+    assert res.cost_data[0] < 1e-4
+
+
+def test_refine_forward_bf16_recovers_quality(tmp_path):
+    """tpu.refineForward = 1 with a bf16-stored kernel: residuals go
+    through the exact-physics matrix-free operator, so the major loop
+    iteratively corrects the bf16 + wavelet-compression operator error
+    instead of converging to it. The refined bf16 solve must land closer
+    to the truth-correlation anchor than the unrefined bf16 solve and
+    reach a deep final misfit (measured against exact physics)."""
+    from tomofastx_tpu.io import model_io
+
+    def run(store, refine, tag, majors=20):
+        cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+        cfg.path_output = str(tmp_path) + f"/{tag}/"
+        cfg.inversion.ninversions = majors
+        cfg.grav.kernel_store = store
+        cfg.magn.kernel_store = store
+        cfg.grav.refine_forward = refine
+        cfg.magn.refine_forward = refine
+        return solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    res_ref = run("bfloat16", 1, "bf16_refined")
+    res_raw = run("bfloat16", 0, "bf16_raw")
+
+    true_vals = model_io.read_model_values(
+        f"{REF}/data/gravmag/mansf_slice/true_model_grav_3litho-values.txt", 8192, 1
+    ).ravel()
+    corr_ref = np.corrcoef(res_ref.models[0].val.ravel(), true_vals)[0, 1]
+    corr_raw = np.corrcoef(res_raw.models[0].val.ravel(), true_vals)[0, 1]
+    assert corr_ref > 0.78, f"refined bf16 truth-corr too low: {corr_ref:.4f}"
+    assert corr_ref >= corr_raw - 0.005, (corr_ref, corr_raw)
+    # Misfit measured against EXACT physics (no inverse crime): 2.5e-4 at
+    # 20 majors; the unrefined bf16 run cannot even measure this — its
+    # reported misfit is against its own approximate operator.
+    assert res_ref.cost_data[0] < 1e-3
+
+
+def test_refine_forward_fused_matches_host(tmp_path):
+    """The fused on-device loop with refineForward produces the same model
+    as the host-driven loop (both use the exact-physics forward)."""
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/host/"
+    cfg.inversion.ninversions = 4
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    res_h = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg2 = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg2.path_output = str(tmp_path) + "/fused/"
+    cfg2.inversion.ninversions = 4
+    cfg2.grav.refine_forward = 1
+    cfg2.magn.refine_forward = 1
+    res_f = solve_problem_joint_gravmag(
+        cfg2, base_dir=REF, verbose=False, fused_chunk=4
+    )
+    np.testing.assert_allclose(
+        res_f.models[0].val, res_h.models[0].val, rtol=1e-5, atol=1e-6
+    )

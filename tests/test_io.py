@@ -275,3 +275,45 @@ def test_streamed_build_cache_reload_solve(tmp_path):
     Sd = np.asarray(k_dense.S, np.float64)
     np.testing.assert_allclose(np.asarray(pk.matvec(x)), Sd @ np.asarray(x), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(pk.rmatvec(u)), Sd.T @ np.asarray(u), rtol=1e-12)
+
+
+def test_chunk_plan_shapes():
+    """_chunk_plan must cover [0, nd) exactly, stay within the batch bound,
+    and use at most two distinct chunk sizes (each distinct size is a
+    separate XLA compile of build_chunk — minutes over the TPU tunnel)."""
+    from tomofastx_tpu.ops.sensitivity import _chunk_plan
+
+    for nd, batch in [(1, 256), (255, 256), (256, 256), (257, 256),
+                      (2025, 256), (4096, 256), (113, 32), (57057, 256),
+                      (10007, 64), (8, 8)]:
+        plan = _chunk_plan(nd, batch)
+        starts = [s for s, _ in plan]
+        sizes = [n for _, n in plan]
+        assert starts[0] == 0
+        assert all(starts[i + 1] == starts[i] + sizes[i] for i in range(len(plan) - 1))
+        assert starts[-1] + sizes[-1] == nd
+        assert max(sizes) <= batch
+        assert len(set(sizes)) <= 2
+    # Exact-divisor preference: 2025 = 9 x 225 picks one shape.
+    assert len({n for _, n in _chunk_plan(2025, 256)}) == 1
+
+
+def test_sensit_write_cache_opt_out(tmp_path):
+    """tpu.sensitWriteCache = 0 skips persisting the kernel cache (the
+    full-kernel device->host pull) but the inversion still runs."""
+    import os
+
+    from tomofastx_tpu.config.parfile import GRAV, read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/hamersley/Parfile_hamersley_grav.txt")
+    cfg.path_output = str(tmp_path) + "/"
+    cfg.inversion.ninversions = 2
+    cfg.grav.sensit_write = 0
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+    assert res.cost_data[GRAV] < 0.5
+    sensit_dir = os.path.join(str(tmp_path), "SENSIT")
+    assert not os.path.exists(sensit_dir) or not any(
+        f.startswith("sensit_grav") for f in os.listdir(sensit_dir)
+    )

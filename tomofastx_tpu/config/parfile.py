@@ -88,6 +88,20 @@ class GravParams:
     # convert-fused GEMV (measured, BASELINE.md round-2); matvec relerr
     # ~1.7e-3 — validate inversion quality before production use.
     kernel_store: str = "float32"
+    # Refine forward predictions through the exact-physics matrix-free
+    # operator (1) instead of the stored (compressed / bf16) kernel: the
+    # major loop becomes classic iterative refinement — the inner LSQR
+    # runs on the cheap approximate kernel while residuals are computed
+    # against the true closed-form physics, so neither wavelet truncation
+    # nor bf16 storage error caps the reachable misfit. Costs one
+    # matrix-free matvec per major iteration.
+    refine_forward: int = 0
+    # Write the sensitivity kernel disk cache after a dense build (1,
+    # reference behavior: calculate_and_write_sensit always persists,
+    # sensitivity_gravmag.F90:141-153). 0 skips the write: over the
+    # tunneled TPU the single full-kernel device->host pull costs
+    # ~8 s/GB (BASELINE.md build profile) — skip it for one-shot runs.
+    sensit_write: int = 1
 
     @property
     def nelements_total(self) -> int:
@@ -487,6 +501,10 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         inv.clustering_constraints_type = ival(val)
     elif K == "tpu.kernelFormat":
         g.kernel_format = m.kernel_format = sval(val)
+    elif K == "tpu.sensitWriteCache":
+        g.sensit_write = m.sensit_write = ival(val)
+    elif K == "tpu.refineForward":
+        g.refine_forward = m.refine_forward = ival(val)
     elif K == "tpu.kernelStoreDtype":
         v = sval(val)
         if v not in ("float32", "bfloat16"):

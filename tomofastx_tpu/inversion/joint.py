@@ -65,6 +65,12 @@ class SystemSpec:
     admm_cost_threshold: float = 1.0e-4
     admm_weight_multiplier: float = 1.0
     admm_max_weight: float = 1.0e10
+    # Iterative refinement (tpu.refineForward): forward predictions /
+    # residuals go through the exact-physics matrix-free operator in
+    # arrays["S_fwd"] (model domain, weights baked) while LSQR keeps the
+    # stored kernel — the major loop then corrects the stored kernel's
+    # compression/bf16 error instead of converging to it.
+    refine_forward: bool = False
 
     @property
     def N(self) -> int:
@@ -425,15 +431,20 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
     solve_once = _build_solve_fn(spec)
 
     def forward(arr, model):
-        """d_calc per problem (model.F90:220-307 semantics)."""
+        """d_calc per problem (model.F90:220-307 semantics). With
+        spec.refine_forward the matvec goes through the exact-physics
+        matrix-free operator (model domain — no wavelet conversion)."""
         ds = []
         for a, i in enumerate(spec.active):
             cw = arr["cw"][a][None, :]
             x = jnp.where(cw != 0.0, model[a] / jnp.where(cw != 0.0, cw, 1.0), 0.0)
             xw = x.reshape(-1)
-            if spec.compression_type > 0:
-                xw = _to_solver(spec, xw)
-            d = arr["S"][a].matvec(xw)
+            if spec.refine_forward:
+                d = arr["S_fwd"][a].matvec(xw)
+            else:
+                if spec.compression_type > 0:
+                    xw = _to_solver(spec, xw)
+                d = arr["S"][a].matvec(xw)
             d = d.reshape(arr["val_meas"][a].shape)
             d = d / spec.problem_weight[i] / arr["data_weight"][a]
             ds.append(d)

@@ -42,6 +42,7 @@ class ProblemContext:
     column_weight: np.ndarray = None
     kernel: object = None  # weighted SensitKernel (None in matrix-free mode)
     operator: object = None  # matrix-free operator when kernel is None
+    forward_op: object = None  # exact-physics operator (tpu.refineForward)
     residuals: np.ndarray = None
 
 
@@ -109,6 +110,18 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
     """d_calc = S m through the stored weighted kernel (model.F90:220-307),
     or through the matrix-free operator."""
     pw = cfg.inversion.problem_weight[ctx.index]
+    if ctx.forward_op is not None:
+        # Iterative refinement (tpu.refineForward): the forward prediction
+        # comes from the exact closed-form physics, so residuals carry the
+        # stored kernel's compression/bf16 error and the major loop
+        # corrects it (the stored kernel only preconditions the update).
+        cw = ctx.column_weight[None, :]
+        m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
+        x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
+        d = np.asarray(ctx.forward_op.matvec(jnp.asarray(x, solve_dtype)))
+        d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
+        ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
+        return
     if ctx.kernel is None:
         cw = ctx.column_weight[None, :]
         m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
@@ -362,7 +375,12 @@ def solve_problem_joint_gravmag(
             log(f"  kernel built in {time.time() - t0:.2f}s; "
                 f"COMPRESSION RATE = {kernel.nnz / max(kernel.S.size, 1):.6f}; "
                 f"COMPRESSION ERROR, r = {kernel.comp_error:.6e}")
-            write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
+            # The kernel is device-resident; persisting the cache pulls it
+            # to the host once (~8 s/GB over the tunnel). Reference always
+            # persists (sensitivity_gravmag.F90:141-153); opt out with
+            # tpu.sensitWriteCache = 0 for one-shot runs.
+            if getattr(par, "sensit_write", 1):
+                write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
 
         # Bake in problem weight x data weights (sensitivity_gravmag.F90:836-843).
         # apply_row_weights donates the unweighted S buffer — on a 16 GB
@@ -439,6 +457,37 @@ def solve_problem_joint_gravmag(
     if ipar.clustering_weight_glob[0] != 0.0 or ipar.clustering_weight_glob[1] != 0.0:
         mixture = _read_mixtures(cfg, base_dir)
 
+    # ---- tpu.refineForward: exact-physics forward operators ----
+    # (matrix-free, weights baked) used for d_calc/residuals while LSQR
+    # keeps the stored kernel — iterative refinement over major iterations.
+    refine_fwd = bool(active) and all(
+        getattr(ctxs[i].par, "refine_forward", 0) for i in active
+    )
+    if refine_fwd:
+        import dataclasses as _dc
+
+        from tomofastx_tpu.ops.matrixfree import (
+            MatrixFreeKernel,
+            make_matrixfree_kernel,
+        )
+
+        if any(
+            ctxs[i].kernel is None and isinstance(ctxs[i].operator, MatrixFreeKernel)
+            for i in active
+        ):
+            # Matrix-free solve mode is already exact physics end-to-end.
+            refine_fwd = False
+        else:
+            for i in active:
+                ctx = ctxs[i]
+                ctx.forward_op = make_matrixfree_kernel(
+                    _dc.replace(ctx.par, compression_type=0),
+                    ctx.model.grid, ctx.data, ctx.column_weight,
+                    ipar.problem_weight[i], ctx.data.weight, solve_dtype,
+                    pad_cells_to=(mesh.devices.size if mesh is not None else 1),
+                )
+
+
     # ---- synthetic data (problem_joint_gravmag.F90:277-362) ----
     for i, ctx in ctxs.items():
         par = ctx.par
@@ -497,6 +546,7 @@ def solve_problem_joint_gravmag(
         admm_cost_threshold=ipar.data_cost_threshold_ADMM,
         admm_weight_multiplier=ipar.weight_multiplier_ADMM,
         admm_max_weight=ipar.max_weight_ADMM,
+        refine_forward=refine_fwd,
     )
     if (spec.cross_grad or spec.clustering) and len(active) < 2:
         raise ValueError(
@@ -561,6 +611,8 @@ def solve_problem_joint_gravmag(
             jnp.asarray(ctxs[i].data.weight, solve_dtype) for i in active
         ),
     }
+    if refine_fwd:
+        static_arrays["S_fwd"] = tuple(ctxs[i].forward_op for i in active)
     if vec_field is not None:
         static_arrays["vec_field"] = jnp.asarray(vec_field, solve_dtype)
     if mixture is not None:

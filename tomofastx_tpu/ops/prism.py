@@ -416,3 +416,15 @@ def validate_finite(name: str, arr):
             f"Non-finite values in {name}: a data coordinate likely coincides with a "
             "model grid boundary. Adjust the model grid!"
         )
+
+
+def validate_finite_device(name: str, arr):
+    """Same guard as validate_finite but reduced ON DEVICE — only one bool
+    crosses the host link (pulling a multi-GB kernel through the tunneled
+    TPU transport runs at ~0.13 GB/s, BASELINE.md build profile)."""
+    ok = bool(jnp.all(jnp.isfinite(arr)))
+    if not ok:
+        raise FloatingPointError(
+            f"Non-finite values in {name}: a data coordinate likely coincides with a "
+            "model grid boundary. Adjust the model grid!"
+        )

@@ -284,6 +284,36 @@ def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_d
     return compressed, nnz, jnp.sum(err, axis=inner)
 
 
+# Mixed-build compression precision: True runs the wavelet/top_k stage in
+# f32 when the kernel is stored at <= 32 bits (TPU f64 is emulated and ~20x
+# slower); False keeps the f64 pipeline end-to-end. Module-level so the
+# precision study (BASELINE.md) can toggle it.
+MIXED_BUILD_F32_COMPRESS = True
+
+
+def _chunk_plan(nd: int, batch: int):
+    """Split nd rows into chunks of at most `batch` rows using as few
+    DISTINCT chunk sizes as possible — build_chunk is shape-specialized, and
+    a ragged last chunk costs a full second XLA compile (minutes over the
+    tunneled TPU). Prefers an exact divisor of nd in (batch/2, batch] (one
+    compile); otherwise falls back to near-equal sizes differing by one row
+    (two compiles). Returns [(start, size), ...]."""
+    if nd <= batch:
+        return [(0, nd)]
+    for b in range(batch, batch // 2, -1):
+        if nd % b == 0:
+            return [(s, b) for s in range(0, nd, b)]
+    nchunks = -(-nd // batch)
+    base, extra = divmod(nd, nchunks)
+    plan = []
+    s = 0
+    for c in range(nchunks):
+        nb = base + (1 if c < extra else 0)
+        plan.append((s, nb))
+        s += nb
+    return plan
+
+
 def compute_sensitivity(
     par,
     grid: Grid,
@@ -332,6 +362,17 @@ def compute_sensitivity(
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
+    if par.compression_type > 0 and jax.default_backend() == "tpu":
+        # The 3-D wavelet lifting lowers to a strided scatter whose scoped
+        # VMEM scales with batch x (cells / longest axis); B = 256 at 64^3
+        # cells exceeds the 16 MB scoped limit (measured: 24 MB requested).
+        # Cap the chunk so the first compile succeeds — the adaptive OOM
+        # shrink below remains as the backstop, but a failed XLA compile
+        # costs ~80 s over the tunnel and is never cached.
+        inner = max(N // max(grid.nx, grid.ny, grid.nz), 1)
+        cap = max(8, (128 * 4096 // inner) // 8 * 8)
+        batch_size = min(batch_size, cap)
+
     grid_arrays = tuple(
         jnp.asarray(a, compute_dtype)
         for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
@@ -364,25 +405,42 @@ def compute_sensitivity(
         yc = jnp.asarray(0.5 * (grid.Y1 + grid.Y2), compute_dtype)
         zc = jnp.asarray(0.5 * (grid.Z1 + grid.Z2), compute_dtype)
 
+    # The grid/center/weight arrays are ARGUMENTS, not closure captures:
+    # closed-over device arrays are baked into the HLO as constants
+    # (~19 MB at 262k cells), which bloats every build_chunk compile and
+    # its persistent-cache key (CLAUDE.md gotcha, measured round 2).
     @jax.jit
-    def build_chunk(xd, yd, zd):
+    def build_chunk(ga, ga64, cwa, centers, xd, yd, zd):
         def one(x, y, z):
             rows = forward_rows(
                 problem, par.data_type, nmc, ndc, magv, intensity,
-                handle_inside, grid_arrays, x, y, z,
+                handle_inside, ga, x, y, z,
             )
             if K > 0:
                 # f64 patch of the K nearest cells (cancellation zone).
-                d2 = (xc - x) ** 2 + (yc - y) ** 2 + (zc - z) ** 2
+                xc_, yc_, zc_ = centers
+                d2 = (xc_ - x) ** 2 + (yc_ - y) ** 2 + (zc_ - z) ** 2
                 _, idx = jax.lax.top_k(-d2, K)
-                sub64 = tuple(a[idx] for a in grid_arrays64)
+                sub64 = tuple(a[idx] for a in ga64)
                 rows64 = forward_rows(
                     problem, par.data_type, nmc, ndc, magv, intensity,
                     handle_inside, sub64, x.astype(jnp.float64),
                     y.astype(jnp.float64), z.astype(jnp.float64),
                 )
                 rows = rows.astype(jnp.float64).at[idx].set(rows64)
-            return rows * cw[:, None, None].astype(rows.dtype)  # depth weighting
+                if MIXED_BUILD_F32_COMPRESS and jnp.dtype(store_dtype).itemsize <= 4:
+                    # Mixed build with f32 (or bf16) storage: the f64
+                    # digits only need to survive until the storage
+                    # rounding, so round right after the (f64) depth
+                    # weighting and run the wavelet + top_k in f32 — on
+                    # TPU f64 is software-emulated and made the
+                    # compression stage ~20x slower than the physics
+                    # (round-2 build profile, BASELINE.md). The full-f64
+                    # build (compute_dtype=f64) and f64-storage paths keep
+                    # the reference's double-precision wavelet/threshold
+                    # pipeline (sensitivity_gravmag.F90:237-272).
+                    return (rows * cwa[:, None, None]).astype(compute_dtype)
+            return rows * cwa[:, None, None].astype(rows.dtype)  # depth weighting
 
         rows = jax.vmap(one)(xd, yd, zd)  # (B, N, nmc, ndc)
         rows = jnp.moveaxis(rows, 1, -1)  # (B, nmc, ndc, N) -> lines over N
@@ -403,6 +461,13 @@ def compute_sensitivity(
     xs = np.asarray(data.X, np.float64)
     ys = np.asarray(data.Y, np.float64)
     zs = np.asarray(data.Z, np.float64)
+
+    big_args = (
+        grid_arrays,
+        grid_arrays64 if K > 0 else (),
+        cw,
+        (xc, yc, zc) if K > 0 else (),
+    )
 
     n_mesh = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
@@ -427,35 +492,78 @@ def compute_sensitivity(
             arr = jax.device_put(arr, obs_sharding)
         return arr
 
+    # Device-resident accumulation (single-device dense path): the finished
+    # kernel NEVER round-trips through the host. Round-2 build profile
+    # (BASELINE.md): the tunneled device->host link runs at 0.13 GB/s, so
+    # the old per-chunk pull + final re-upload dominated the build by ~10x
+    # over the prism/wavelet/top_k compute. Chunks are written into a
+    # preallocated HBM buffer via a donated dynamic_update_slice; the cache
+    # writer (io/sensit_cache) pulls the kernel once only if asked to.
+    device_accum = mesh is None and row_sink is None
+    if device_accum:
+        S_dev = jnp.zeros((nd, ndc, nmc, N), store_dtype)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def accum(S_dev, comp, s):
+            z = s * 0  # same integer dtype as s under any x64 setting
+            return jax.lax.dynamic_update_slice(S_dev, comp, (s, z, z, z))
+
     chunks = []
     nnz_total = 0
     err_total = 0.0
-    for s in range(0, nd, batch_size):
-        e = min(s + batch_size, nd)
-        nb = e - s
-        if mesh is not None:
-            b_pad = ((nb + n_mesh - 1) // n_mesh) * n_mesh
-            comp, nnz, err_sum = build_chunk(
-                to_device(xs[s:e], far[0], b_pad, nb),
-                to_device(ys[s:e], far[1], b_pad, nb),
-                to_device(zs[s:e], far[2], b_pad, nb),
+    plan = _chunk_plan(nd, batch_size)
+    ci = 0
+    while ci < len(plan):
+        s, nb = plan[ci]
+        e = s + nb
+        try:
+            if mesh is not None:
+                b_pad = ((nb + n_mesh - 1) // n_mesh) * n_mesh
+                comp, nnz, err_sum = build_chunk(
+                    *big_args,
+                    to_device(xs[s:e], far[0], b_pad, nb),
+                    to_device(ys[s:e], far[1], b_pad, nb),
+                    to_device(zs[s:e], far[2], b_pad, nb),
+                )
+            else:
+                comp, nnz, err_sum = build_chunk(
+                    *big_args,
+                    jnp.asarray(xs[s:e], compute_dtype),
+                    jnp.asarray(ys[s:e], compute_dtype),
+                    jnp.asarray(zs[s:e], compute_dtype),
+                )
+        except Exception as exc:  # adaptive chunk shrink on XLA OOM
+            # Some shape/precision combinations exceed TPU scoped VMEM in
+            # the wavelet lifting scatter (observed: B=256 at 64^3 cells
+            # with the x64 near-field patch). Halve the chunk for the
+            # remaining rows and keep building instead of aborting.
+            msg = str(exc)
+            resource = any(
+                t in msg
+                for t in ("RESOURCE_EXHAUSTED", "Ran out of memory", "vmem",
+                          "out of memory", "OOM")
             )
+            if not resource or nb <= 8:
+                raise
+            new_batch = max(8, nb // 2)
+            plan = plan[:ci] + [
+                (s + off, n) for off, n in _chunk_plan(nd - s, new_batch)
+            ]
+            continue
+        if device_accum:
+            S_dev = accum(S_dev, comp, np.int32(s))
         else:
-            comp, nnz, err_sum = build_chunk(
-                jnp.asarray(xs[s:e], compute_dtype),
-                jnp.asarray(ys[s:e], compute_dtype),
-                jnp.asarray(zs[s:e], compute_dtype),
-            )
-        chunk_np = np.asarray(comp)[:nb]
-        if row_sink is not None:
-            prism.validate_finite("sensitivity kernel chunk", chunk_np)
-            row_sink(chunk_np, s)
-        else:
-            chunks.append(chunk_np)
+            chunk_np = np.asarray(comp)[:nb]
+            if row_sink is not None:
+                prism.validate_finite("sensitivity kernel chunk", chunk_np)
+                row_sink(chunk_np, s)
+            else:
+                chunks.append(chunk_np)
         nnz_total += int(np.sum(np.asarray(nnz)[:nb]))
         err_total += float(np.sum(np.asarray(err_sum)[:nb]))
         if progress is not None:
             progress(e, nd)
+        ci += 1
 
     comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
     if row_sink is not None:
@@ -472,12 +580,17 @@ def compute_sensitivity(
             nnz=nnz_total,
         )
 
-    S4 = np.concatenate(chunks, axis=0)  # (nd, ndc, nmc, N)
-    prism.validate_finite("sensitivity kernel", S4)
-    S = S4.reshape(nd * ndc, nmc * N)
+    if device_accum:
+        prism.validate_finite_device("sensitivity kernel", S_dev)
+        # Contiguous row-major reshape: stays on device, no copy.
+        S = S_dev.reshape(nd * ndc, nmc * N)
+    else:
+        S4 = np.concatenate(chunks, axis=0)  # (nd, ndc, nmc, N)
+        prism.validate_finite("sensitivity kernel", S4)
+        S = jnp.asarray(S4.reshape(nd * ndc, nmc * N))
 
     return SensitKernel(
-        S=jnp.asarray(S),
+        S=S,
         ndata=nd,
         ndata_components=ndc,
         nmodel_components=nmc,

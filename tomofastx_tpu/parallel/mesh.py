@@ -163,6 +163,8 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
     out = dict(arrays)
 
     out["S"] = tuple(shard_kernel(k, mesh) for k in arrays["S"])
+    if "S_fwd" in arrays:
+        out["S_fwd"] = tuple(shard_kernel(k, mesh) for k in arrays["S_fwd"])
     out["cw"] = put_tuple(arrays["cw"], P(CELLS_AXIS))
     out["model"] = put_tuple(arrays["model"], P(None, CELLS_AXIS))
     out["prior"] = put_tuple(arrays["prior"], P(None, CELLS_AXIS))

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache setup.
+
+Over the tunneled axon TPU backend a cold compile of the LSQR while-loop or
+a sensitivity build_chunk costs minutes; the persistent cache makes reruns
+near-instant. IMPORTANT: on this JAX build the ``JAX_COMPILATION_CACHE_DIR``
+environment variable is silently ignored — the cache must be enabled through
+``jax.config`` (measured round 2: scripts that only set the env var
+recompiled a 105 s build_chunk on every single run while the cache directory
+stayed empty). Call :func:`enable` right after ``import jax``.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable(cache_dir: str | None = None) -> str:
+    """Enable the persistent compilation cache (idempotent)."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
