@@ -114,9 +114,14 @@ class SensitStreamWriter:
 
 
 def write_kernel_cache(cache_dir: str, par, kernel, column_weight: np.ndarray):
-    """Write a dense SensitKernel through the stream writer (one pass)."""
+    """Write a dense SensitKernel through the stream writer.
+
+    The kernel is pulled from the device in ROW CHUNKS: a single
+    np.asarray of the whole array forces a device-side relayout copy
+    (TPU-tiled -> host-linear) of the full kernel — at 8.5 GB that second
+    copy RESOURCE_EXHAUSTEDs the 16 GB chip (observed on the million-cell
+    run). A sliced pull relayouts only one chunk at a time."""
     nd, ndc, nmc = kernel.ndata, kernel.ndata_components, kernel.nmodel_components
-    S = np.asarray(kernel.S, np.float32).reshape(nd, ndc, nmc, kernel.N)
 
     class _Grid:
         pass
@@ -126,7 +131,12 @@ def write_kernel_cache(cache_dir: str, par, kernel, column_weight: np.ndarray):
     g.nelements_total = kernel.N
 
     w = SensitStreamWriter(cache_dir, par, g, column_weight, kernel.compression_type)
-    w.write_chunk(S, 0)
+    # <= ~256 MB of f32 per pulled chunk.
+    chunk = max(1, min(nd, (1 << 26) // max(ndc * nmc * kernel.N, 1)))
+    for s in range(0, nd, chunk):
+        e = min(s + chunk, nd)
+        block = np.asarray(kernel.S[s * ndc : e * ndc], np.float32)
+        w.write_chunk(block.reshape(e - s, ndc, nmc, kernel.N), s)
     w.finalize(kernel.comp_error)
 
 

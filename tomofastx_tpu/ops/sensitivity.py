@@ -501,12 +501,18 @@ def compute_sensitivity(
     # writer (io/sensit_cache) pulls the kernel once only if asked to.
     device_accum = mesh is None and row_sink is None
     if device_accum:
-        S_dev = jnp.zeros((nd, ndc, nmc, N), store_dtype)
+        # Accumulate directly in the FINAL 2-D solver layout. A 4-D
+        # (nd, ndc, nmc, N) device buffer with unit middle dims gets a
+        # TPU-tiled physical layout that breaks the later pull (measured:
+        # RESOURCE_EXHAUSTED relayout on an 8 GB kernel); the 2-D layout
+        # accumulates, reshapes, slices, and pulls cleanly.
+        S_dev = jnp.zeros((nd * ndc, nmc * N), store_dtype)
 
         @partial(jax.jit, donate_argnums=(0,))
         def accum(S_dev, comp, s):
             z = s * 0  # same integer dtype as s under any x64 setting
-            return jax.lax.dynamic_update_slice(S_dev, comp, (s, z, z, z))
+            comp2 = comp.reshape(comp.shape[0] * ndc, nmc * N)
+            return jax.lax.dynamic_update_slice(S_dev, comp2, (s, z))
 
     chunks = []
     nnz_total = 0
@@ -551,7 +557,7 @@ def compute_sensitivity(
             ]
             continue
         if device_accum:
-            S_dev = accum(S_dev, comp, np.int32(s))
+            S_dev = accum(S_dev, comp, np.int32(s * ndc))
         else:
             chunk_np = np.asarray(comp)[:nb]
             if row_sink is not None:
@@ -582,8 +588,7 @@ def compute_sensitivity(
 
     if device_accum:
         prism.validate_finite_device("sensitivity kernel", S_dev)
-        # Contiguous row-major reshape: stays on device, no copy.
-        S = S_dev.reshape(nd * ndc, nmc * N)
+        S = S_dev  # already in the 2-D solver layout
     else:
         S4 = np.concatenate(chunks, axis=0)  # (nd, ndc, nmc, N)
         prism.validate_finite("sensitivity kernel", S4)
