@@ -515,6 +515,7 @@ def compute_sensitivity(
             return jax.lax.dynamic_update_slice(S_dev, comp2, (s, z))
 
     chunks = []
+    nnz_parts, err_parts = [], []
     nnz_total = 0
     err_total = 0.0
     plan = _chunk_plan(nd, batch_size)
@@ -558,6 +559,12 @@ def compute_sensitivity(
             continue
         if device_accum:
             S_dev = accum(S_dev, comp, np.int32(s * ndc))
+            # No host sync per chunk: pulling the (B,) nnz/err stats here
+            # costs a tunnel round-trip (~0.2 s) per chunk — keep them as
+            # queued device scalars and reduce once after the loop, so the
+            # host races ahead dispatching chunks while the device works.
+            nnz_parts.append(jnp.sum(nnz[:nb]))
+            err_parts.append(jnp.sum(err_sum[:nb]))
         else:
             chunk_np = np.asarray(comp)[:nb]
             if row_sink is not None:
@@ -565,11 +572,14 @@ def compute_sensitivity(
                 row_sink(chunk_np, s)
             else:
                 chunks.append(chunk_np)
-        nnz_total += int(np.sum(np.asarray(nnz)[:nb]))
-        err_total += float(np.sum(np.asarray(err_sum)[:nb]))
+            nnz_total += int(np.sum(np.asarray(nnz)[:nb]))
+            err_total += float(np.sum(np.asarray(err_sum)[:nb]))
         if progress is not None:
             progress(e, nd)
         ci += 1
+    if device_accum and nnz_parts:
+        nnz_total = int(np.sum(np.asarray(jnp.stack(nnz_parts))))
+        err_total = float(np.sum(np.asarray(jnp.stack(err_parts))))
 
     comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
     if row_sink is not None:
