@@ -270,3 +270,50 @@ def test_sharded_sensitivity_build_bitwise(tmp_path, compression):
     # comp_error is a reported statistic whose per-row N-reduction tiles
     # differently for the padded chunk shape: last-ulp tolerance.
     np.testing.assert_allclose(k_plain.comp_error, k_mesh.comp_error, rtol=1e-12)
+
+
+def test_refine_forward_sharded_workflow(tmp_path):
+    """tpu.refineForward under the 8-device mesh: the matrix-free forward
+    operator (arrays["S_fwd"]) shards over cells alongside the stored
+    kernel; results match the single-device refined run."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/plain/"
+    cfg.inversion.ninversions = 3
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg.path_output = str(tmp_path) + "/mesh/"
+    mesh = make_mesh(8)
+    res_mesh = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False, mesh=mesh)
+
+    np.testing.assert_allclose(
+        res_mesh.models[0].val, res_plain.models[0].val, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_refine_forward_fused_sharded(tmp_path):
+    """Fused on-device loop x mesh x refineForward all compose."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/host/"
+    cfg.inversion.ninversions = 3
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    res_host = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg.path_output = str(tmp_path) + "/fusedmesh/"
+    mesh = make_mesh(8)
+    res_fm = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, mesh=mesh, fused_chunk=3
+    )
+    np.testing.assert_allclose(
+        res_fm.models[0].val, res_host.models[0].val, rtol=1e-5, atol=1e-6
+    )
