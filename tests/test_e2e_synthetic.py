@@ -477,3 +477,51 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(
         res_resumed.models[GRAV].val, res_full.models[GRAV].val, rtol=1e-8, atol=1e-9
     )
+
+
+def test_wavelet_domain_solve_matches_model_domain(tmp_path):
+    """WAVELET_DOMAIN = True (solve for the update in wavelet coordinates,
+    joint_inverse_problem.F90:189-200): triggered when compression is on
+    and only damping-type constraints are active. A/B against the same
+    system with a negligible damping-gradient weight (beta = 1e-20), which
+    flips the decision to model-domain while leaving the math unchanged —
+    both parameterizations must converge to the same model."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import GRAV
+    from tomofastx_tpu.inversion.joint import decide_wavelet_domain
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+    from tests.util_fixtures import make_base_config, write_values_file
+
+    nx, ny, nz, nd = 8, 8, 8, 36
+
+    def build(tag, beta):
+        rng = np.random.default_rng(3)  # same true model for both runs
+        cfg, grid_path, _ = make_base_config(str(tmp_path), nx, ny, nz, nd)
+        cfg.path_output = str(tmp_path) + f"/out_{tag}/"
+        true_path = str(tmp_path / "true_vals.txt")
+        write_values_file(true_path, 100.0 * rng.standard_normal((nx * ny * nz, 1)))
+        cfg.grav.use_synthetic_model = 1
+        cfg.grav.synthetic_model_file = true_path
+        cfg.grav.compression_type = 1
+        cfg.grav.compression_rate = 0.4
+        cfg.inversion.compression_type = 1
+        cfg.inversion.compression_rate = 0.4
+        cfg.inversion.alpha = (1e-9, 1e-9)
+        cfg.inversion.beta = (beta, 0.0)
+        cfg.inversion.ninversions = 4
+        cfg.inversion.niter = 100
+        return cfg
+
+    cfg_w = build("wav", 0.0)
+    assert decide_wavelet_domain(cfg_w.inversion) is True
+    res_w = solve_problem_joint_gravmag(cfg_w, base_dir="/", verbose=False)
+
+    cfg_m = build("mod", 1e-20)
+    assert decide_wavelet_domain(cfg_m.inversion) is False
+    res_m = solve_problem_joint_gravmag(cfg_m, base_dir="/", verbose=False)
+
+    assert res_w.cost_data[GRAV] < 1e-4
+    np.testing.assert_allclose(
+        res_w.models[GRAV].val, res_m.models[GRAV].val, rtol=1e-4, atol=1e-4
+    )

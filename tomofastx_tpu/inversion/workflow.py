@@ -367,9 +367,18 @@ def solve_problem_joint_gravmag(
                     print(f"  sensitivity rows: {10 * decile}% "
                           f"({done}/{total}, {rate:.1f} rows/s)", flush=True)
 
+            # bf16 storage builds DIRECTLY into bfloat16: an f32
+            # intermediate would double the build's HBM and cap the 2x
+            # capacity the mode exists for (a 2M-cell kernel is 8.3 GB in
+            # bf16 but 16.6 GB in f32 — over the 16 GB chip).
+            build_store = (
+                jnp.bfloat16
+                if getattr(par, "kernel_store", "float32") == "bfloat16"
+                else jnp.float32
+            )
             kernel = sens.compute_sensitivity(
                 par, ctx.model.grid, ctx.data, ctx.column_weight,
-                compute_dtype=build_dtype, store_dtype=jnp.float32,
+                compute_dtype=build_dtype, store_dtype=build_store,
                 near_field_f64=near_field_f64, mesh=mesh, progress=ticker,
             )
             log(f"  kernel built in {time.time() - t0:.2f}s; "

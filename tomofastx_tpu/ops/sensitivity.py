@@ -362,6 +362,17 @@ def compute_sensitivity(
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
+    if jax.default_backend() == "tpu":
+        # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
+        # + 4 f32 rows + store bytes) per row next to the device-resident
+        # kernel. At 2M cells the default B=225 needs ~6.5 GB of temps on
+        # top of an 8.3 GB bf16 kernel and RESOURCE_EXHAUSTs the 16 GB
+        # chip; budget ~2.5 GB of chunk temps.
+        row_bytes = N * ((8 + 4) if near_field_f64 > 0 else 4)
+        row_bytes += N * jnp.dtype(store_dtype).itemsize
+        mem_cap = max(8, int(2.5e9 // max(row_bytes, 1)) // 8 * 8)
+        batch_size = min(batch_size, mem_cap)
+
     if par.compression_type > 0 and jax.default_backend() == "tpu":
         # The 3-D wavelet lifting lowers to a strided scatter whose scoped
         # VMEM scales with batch x (cells / longest axis); B = 256 at 64^3
@@ -539,6 +550,14 @@ def compute_sensitivity(
                     jnp.asarray(ys[s:e], compute_dtype),
                     jnp.asarray(zs[s:e], compute_dtype),
                 )
+            if ci == 0:
+                # Force the first chunk to EXECUTE inside this try: with
+                # async dispatch a runtime OOM would otherwise surface at
+                # the final stats sync, past the adaptive shrink below.
+                # Chunks are memory-identical, so first-chunk success
+                # predicts the rest. (Host fetch, not block_until_ready —
+                # the axon tunnel's block_until_ready returns early.)
+                _ = float(jnp.sum(nnz))
         except Exception as exc:  # adaptive chunk shrink on XLA OOM
             # Some shape/precision combinations exceed TPU scoped VMEM in
             # the wavelet lifting scatter (observed: B=256 at 64^3 cells
