@@ -32,8 +32,9 @@ def main():
 
     # Persistent compilation cache: the LSQR while-loop compile costs
     # minutes over a tunneled TPU; cache it across runs.
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tomofastx_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

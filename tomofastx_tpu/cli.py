@@ -89,10 +89,9 @@ def main(argv=None):
         # TPUs). CPU executables are deliberately NOT cached: remote-compiled
         # CPU AOT results can target different host CPU features (SIGILL
         # risk).
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from tomofastx_tpu.utils.compile_cache import enable as enable_compile_cache
+
+        enable_compile_cache()
 
     precision = args.precision or ("single" if backend_is_tpu else "double")
     # x64 is always enabled: even in single (f32-solve) mode the sensitivity

@@ -487,12 +487,17 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
             arr["admm_u"],
             arr["rho_admm"],
             extras_init,
+            # d_calc of the incoming model rides the carry: step k's
+            # post-update forward IS step k+1's pre-update forward, so the
+            # operator is applied once per major iteration, not twice
+            # (matters most under refine_forward, where each forward is a
+            # full exact-physics matrix-free matvec).
+            forward(arr, arr["model"]),
         )
 
         def step(carry, _):
-            model, z, u, rho, _extras = carry
+            model, z, u, rho, _extras, d_calc = carry
             rho_used = rho  # the weight the reference logs for this row
-            d_calc = forward(arr, model)
             # Pre-update costs: these become the "previous iteration" entries
             # of the costs.txt row (problem_joint_gravmag.F90:519-528).
             pre_cost_data = data_cost(arr, d_calc)
@@ -510,7 +515,8 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
 
             # Post-update data cost drives the dynamic ADMM weight
             # adjustment (problem_joint_gravmag.F90:618-638).
-            post_cost_data = data_cost(arr, forward(arr, model_new))
+            d_calc_new = forward(arr, model_new)
+            post_cost_data = data_cost(arr, d_calc_new)
             if spec.admm_weight_multiplier != 1.0:
                 rho_list = [rho[i] for i in range(2)]
                 for a, i in enumerate(spec.active):
@@ -531,11 +537,14 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
                 "rho": rho_used,
                 "lsqr_iters": out["lsqr_iters"],
             }
-            return (model_new, out["admm_z"], out["admm_u"], rho, out["extras"] or _extras), ys
+            return (
+                model_new, out["admm_z"], out["admm_u"], rho,
+                out["extras"] or _extras, d_calc_new,
+            ), ys
 
-        (model, z, u, rho, extras), ys = jax.lax.scan(step, init, None, length=n_steps)
-
-        final_d = forward(arr, model)
+        (model, z, u, rho, extras, final_d), ys = jax.lax.scan(
+            step, init, None, length=n_steps
+        )
         return {
             "model": model,
             "admm_z": z,

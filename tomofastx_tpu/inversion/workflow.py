@@ -110,24 +110,16 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
     """d_calc = S m through the stored weighted kernel (model.F90:220-307),
     or through the matrix-free operator."""
     pw = cfg.inversion.problem_weight[ctx.index]
-    if ctx.forward_op is not None:
-        # Iterative refinement (tpu.refineForward): the forward prediction
-        # comes from the exact closed-form physics, so residuals carry the
-        # stored kernel's compression/bf16 error and the major loop
-        # corrects it (the stored kernel only preconditions the update).
-        cw = ctx.column_weight[None, :]
-        m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
-        x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
-        d = np.asarray(ctx.forward_op.matvec(jnp.asarray(x, solve_dtype)))
-        d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
-        ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
-        return
-    if ctx.kernel is None:
+
+    def through_operator(op, wavelet_domain: bool):
+        """d_calc through an operator with baked row weights: scale the
+        model by 1/cw, optionally convert to the wavelet domain, matvec,
+        un-weight (model.F90:220-307 semantics)."""
         cw = ctx.column_weight[None, :]
         m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
         x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
         xj = jnp.asarray(x, solve_dtype)
-        if ctx.par.compression_type > 0:
+        if wavelet_domain:
             # Packed operators live in the wavelet domain
             # (model.F90:272-274 semantics).
             from tomofastx_tpu.ops import wavelet as W
@@ -137,10 +129,20 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
                 xj.reshape(ctx.model.ncomponents, -1), g.nx, g.ny, g.nz,
                 ctx.par.compression_type,
             ).reshape(-1)
-        d = np.asarray(ctx.operator.matvec(xj))
+        d = np.asarray(op.matvec(xj))
         d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
         ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
-        return
+
+    if ctx.forward_op is not None:
+        # Iterative refinement (tpu.refineForward): the forward prediction
+        # comes from the exact closed-form physics, so residuals carry the
+        # stored kernel's compression/bf16 error and the major loop
+        # corrects it (the stored kernel only preconditions the update).
+        return through_operator(ctx.forward_op, wavelet_domain=False)
+    if ctx.kernel is None:
+        return through_operator(
+            ctx.operator, wavelet_domain=ctx.par.compression_type > 0
+        )
     ctx.data.val_calc = sens.calculate_data(
         ctx.kernel,
         ctx.model.val,
@@ -389,7 +391,15 @@ def solve_problem_joint_gravmag(
             # persists (sensitivity_gravmag.F90:141-153); opt out with
             # tpu.sensitWriteCache = 0 for one-shot runs.
             if getattr(par, "sensit_write", 1):
-                write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
+                if kernel.S.dtype == jnp.bfloat16:
+                    # The disk cache is an f32 format (reference interop);
+                    # persisting bf16-rounded values would silently poison
+                    # a later float32 run that reloads them.
+                    log("  NOT writing the sensit cache: the kernel is "
+                        "stored bfloat16 and the cache format is float32 "
+                        "(set tpu.kernelStoreDtype = float32 to persist).")
+                else:
+                    write_kernel_cache(sensit_dir, par, kernel, ctx.column_weight)
 
         # Bake in problem weight x data weights (sensitivity_gravmag.F90:836-843).
         # apply_row_weights donates the unweighted S buffer — on a 16 GB
@@ -469,9 +479,14 @@ def solve_problem_joint_gravmag(
     # ---- tpu.refineForward: exact-physics forward operators ----
     # (matrix-free, weights baked) used for d_calc/residuals while LSQR
     # keeps the stored kernel — iterative refinement over major iterations.
-    refine_fwd = bool(active) and all(
-        getattr(ctxs[i].par, "refine_forward", 0) for i in active
-    )
+    refine_requested = [
+        i for i in active if getattr(ctxs[i].par, "refine_forward", 0)
+    ]
+    refine_fwd = bool(active) and len(refine_requested) == len(active)
+    if refine_requested and not refine_fwd:
+        log("WARNING: tpu.refineForward ignored — it must be enabled for "
+            "ALL active problems (set for "
+            f"{[PROBLEM_PREFIX[i] for i in refine_requested]} only).")
     if refine_fwd:
         import dataclasses as _dc
 
@@ -485,6 +500,8 @@ def solve_problem_joint_gravmag(
             for i in active
         ):
             # Matrix-free solve mode is already exact physics end-to-end.
+            log("NOTE: tpu.refineForward is a no-op with kernelFormat = "
+                "matrixfree (the solve already uses exact physics).")
             refine_fwd = False
         else:
             for i in active:

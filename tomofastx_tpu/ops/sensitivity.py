@@ -368,7 +368,13 @@ def compute_sensitivity(
         # kernel. At 2M cells the default B=225 needs ~6.5 GB of temps on
         # top of an 8.3 GB bf16 kernel and RESOURCE_EXHAUSTs the 16 GB
         # chip; budget ~2.5 GB of chunk temps.
-        row_bytes = N * ((8 + 4) if near_field_f64 > 0 else 4)
+        if near_field_f64 > 0:
+            # Mixed build: f32 physics rows + the f64 patched/weighted copy.
+            row_bytes = N * (8 + 4)
+        else:
+            # Pure-dtype build: physics rows + weighted product, both in
+            # compute_dtype (a full-f64 build is 8-byte temps throughout).
+            row_bytes = N * 2 * jnp.dtype(compute_dtype).itemsize
         row_bytes += N * jnp.dtype(store_dtype).itemsize
         mem_cap = max(8, int(2.5e9 // max(row_bytes, 1)) // 8 * 8)
         batch_size = min(batch_size, mem_cap)
@@ -582,7 +588,13 @@ def compute_sensitivity(
             # costs a tunnel round-trip (~0.2 s) per chunk — keep them as
             # queued device scalars and reduce once after the loop, so the
             # host races ahead dispatching chunks while the device works.
-            nnz_parts.append(jnp.sum(nnz[:nb]))
+            # Uncompressed nnz is deterministic (every entry kept): count
+            # on the host — the device int32 per-chunk sum would overflow
+            # past ~2^31 entries (x64 off).
+            if par.compression_type > 0:
+                nnz_parts.append(jnp.sum(nnz[:nb]))
+            else:
+                nnz_total += nb * ndc * nmc * N
             err_parts.append(jnp.sum(err_sum[:nb]))
         else:
             chunk_np = np.asarray(comp)[:nb]
@@ -596,9 +608,13 @@ def compute_sensitivity(
         if progress is not None:
             progress(e, nd)
         ci += 1
-    if device_accum and nnz_parts:
-        nnz_total = int(np.sum(np.asarray(jnp.stack(nnz_parts))))
-        err_total = float(np.sum(np.asarray(jnp.stack(err_parts))))
+    if device_accum:
+        if nnz_parts:
+            nnz_total = int(
+                np.sum(np.asarray(jnp.stack(nnz_parts), np.int64))
+            )
+        if err_parts:
+            err_total = float(np.sum(np.asarray(jnp.stack(err_parts))))
 
     comp_error = err_total / (nd * ndc * nmc) if par.compression_type > 0 else 0.0
     if row_sink is not None:
