@@ -72,7 +72,19 @@ def main(out_root, solve_dtype):
 if __name__ == "__main__":
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/run_all"
     rows = main(out_root, jnp.float64)
-    with open("/root/repo/RESULTS.md", "w") as f:
+    # Rewrite ONLY the parfile table at the top of RESULTS.md — the file
+    # also records TPU / million-cell / capacity sections that a sweep
+    # must never clobber (a previous version overwrote the whole file).
+    path = "/root/repo/RESULTS.md"
+    tail = ""
+    try:
+        existing = open(path).read()
+        i = existing.find("\n## ")
+        if i >= 0:
+            tail = existing[i + 1:]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
         f.write(
             "# RESULTS — full end-to-end runs of every runnable shipped parfile\n\n"
             "CPU backend, f64 solve + f64 kernel build, full shipped iteration\n"
@@ -90,4 +102,6 @@ if __name__ == "__main__":
                 )
             else:
                 f.write(f"| {r['parfile']} | — | — | — | — | — | {r['status']} |\n")
-    print("wrote RESULTS.md")
+        if tail:
+            f.write("\n" + tail)
+    print("wrote RESULTS.md (table only; kept trailing sections)")

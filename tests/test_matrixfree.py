@@ -172,7 +172,12 @@ def test_matrixfree_padded_cells_equal_unpadded(tmp_path):
     operator."""
     par, grid, data, cw = _setup(tmp_path)
     dw = np.ones((par.ndata, par.ndata_components))
-    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+    # force_generic: padding invariance is a property of the general
+    # per-cell operator (the lattice fast path never pads cells and its
+    # different summation order is covered by its own parity test).
+    op = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, dw, jnp.float64, force_generic=True
+    )
     opp = make_matrixfree_kernel(
         par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=7
     )
@@ -182,3 +187,64 @@ def test_matrixfree_padded_cells_equal_unpadded(tmp_path):
     u = jnp.asarray(rng.normal(size=(par.ndata,)))
     np.testing.assert_allclose(np.asarray(opp.matvec(x)), np.asarray(op.matvec(x)), rtol=1e-13)
     np.testing.assert_allclose(np.asarray(opp.rmatvec(u)), np.asarray(op.rmatvec(u)), rtol=1e-13)
+
+
+def test_lattice_kernel_matches_generic(tmp_path):
+    """The corner-lattice factorization (LatticeMatrixFreeKernel) must
+    reproduce the general per-cell operator: same corner values (wrapped
+    atan2 / armored logs) summed in a different order."""
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        MatrixFreeKernel,
+    )
+
+    par, grid, data, cw = _setup(tmp_path)
+    fast = make_matrixfree_kernel(
+        par, grid, data, cw, 2.0, data.weight, jnp.float64
+    )
+    slow = make_matrixfree_kernel(
+        par, grid, data, cw, 2.0, data.weight, jnp.float64, force_generic=True
+    )
+    assert isinstance(fast, LatticeMatrixFreeKernel)
+    assert isinstance(slow, MatrixFreeKernel)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N,)))
+    u = jnp.asarray(rng.normal(size=(data.ndata,)))
+    np.testing.assert_allclose(
+        np.asarray(fast.matvec(x)), np.asarray(slow.matvec(x)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.rmatvec(u)), np.asarray(slow.rmatvec(u)),
+        rtol=1e-9, atol=1e-24,
+    )
+    # Adjointness of the lattice pair itself.
+    lhs = float(jnp.dot(fast.matvec(x), u))
+    rhs = float(jnp.dot(x, fast.rmatvec(u)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_lattice_detection_rejects_irregular(tmp_path):
+    """A grid with one shifted cell is NOT a tensor-product lattice; the
+    factory must fall back to the general per-cell operator."""
+    from tomofastx_tpu.ops.matrixfree import MatrixFreeKernel, detect_lattice
+
+    par, grid, data, cw = _setup(tmp_path)
+    assert detect_lattice(grid) is not None
+    grid.Z1 = grid.Z1.copy()
+    grid.Z1[3] += 1.0  # break the lattice
+    assert detect_lattice(grid) is None
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)
+    assert isinstance(op, MatrixFreeKernel)
+
+
+def test_lattice_kernel_boundary_guard(tmp_path):
+    """A corner-coincident observation point must abort at construction
+    (gravity_field.f90:99-107), same as the general operator."""
+    par, grid, data, cw = _setup(tmp_path)
+    data.X = data.X.copy()
+    data.Y = data.Y.copy()
+    data.Z = data.Z.copy()
+    data.X[0], data.Y[0], data.Z[0] = 0.0, 0.0, 0.0  # grid corner
+    with pytest.raises(ValueError, match="Adjust the model grid"):
+        make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)

@@ -491,12 +491,16 @@ def solve_problem_joint_gravmag(
         import dataclasses as _dc
 
         from tomofastx_tpu.ops.matrixfree import (
+            LatticeMatrixFreeKernel,
             MatrixFreeKernel,
             make_matrixfree_kernel,
         )
 
         if any(
-            ctxs[i].kernel is None and isinstance(ctxs[i].operator, MatrixFreeKernel)
+            ctxs[i].kernel is None
+            and isinstance(
+                ctxs[i].operator, (MatrixFreeKernel, LatticeMatrixFreeKernel)
+            )
             for i in active
         ):
             # Matrix-free solve mode is already exact physics end-to-end.

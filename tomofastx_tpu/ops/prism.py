@@ -108,6 +108,23 @@ def gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
     return G_GRAV * gz
 
 
+def gz_corner_potential(x, y, z):
+    """The per-corner antiderivative of the prism g_z closed form:
+    f(x, y, z) = z*atan2(xy, zR) - x*log(R + y) - y*log(R + x), so that
+    gz_cell = G * sum_{K,L,M} (-1)^(K+L+M+1) f(xd - Xe[i+K], ...) — the
+    corner-lattice factorization of graviprism_z
+    (gravity_field.f90:131-195). On a tensor-product grid each corner
+    value is shared by up to 8 cells, cutting transcendental work ~8x
+    (ops/matrixfree.py::LatticeMatrixFreeKernel). Uses the SAME wrapped
+    atan2 and cancellation-armored logs as gravi_z, so the per-cell
+    alternating sum of these values is exactly gravi_z's."""
+    Rs = jnp.sqrt(x * x + y * y + z * z)
+    arg3 = _wrap_atan2(x * y, z * Rs)
+    arg4 = _log_R_plus(Rs, x, y * y + z * z)
+    arg5 = _log_R_plus(Rs, y, x * x + z * z)
+    return z * arg3 - x * arg5 - y * arg4
+
+
 def gravi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
     """All three gravity components (gx, gy, gz) per cell.
 
