@@ -248,3 +248,53 @@ def test_lattice_kernel_boundary_guard(tmp_path):
     data.X[0], data.Y[0], data.Z[0] = 0.0, 0.0, 0.0  # grid corner
     with pytest.raises(ValueError, match="Adjust the model grid"):
         make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)
+
+
+def test_lattice_kernel_magnetic_matches_generic(tmp_path):
+    """Magnetic corner-lattice factorization (5 Sharma antiderivative
+    channels) vs the general per-cell sharmbox operator."""
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        MatrixFreeKernel,
+    )
+
+    par, grid, data, cw = _setup(tmp_path, problem="magn")
+    par.nmodel_components, par.ndata_components = 3, 3
+    dw = np.ones((par.ndata, 3))
+    fast = make_matrixfree_kernel(par, grid, data, cw, 1.5, dw, jnp.float64)
+    slow = make_matrixfree_kernel(
+        par, grid, data, cw, 1.5, dw, jnp.float64, force_generic=True
+    )
+    assert isinstance(fast, LatticeMatrixFreeKernel)
+    assert isinstance(slow, MatrixFreeKernel)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(3 * N,)))
+    u = jnp.asarray(rng.normal(size=(3 * data.ndata,)))
+    # The f64 generic path computes log-RATIOS (reference literal form);
+    # the lattice differences per-corner logs — equal up to ~1 ulp of the
+    # log magnitudes, so parity is tight but not bitwise.
+    np.testing.assert_allclose(
+        np.asarray(fast.matvec(x)), np.asarray(slow.matvec(x)),
+        rtol=1e-8, atol=1e-12,
+    )
+    ref = np.asarray(slow.rmatvec(u))
+    np.testing.assert_allclose(
+        np.asarray(fast.rmatvec(u)), ref,
+        rtol=1e-7, atol=1e-8 * float(np.max(np.abs(ref))),
+    )
+    lhs = float(jnp.dot(fast.matvec(x), u))
+    rhs = float(jnp.dot(x, fast.rmatvec(u)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_lattice_magnetic_borehole_falls_back(tmp_path):
+    """An observation point inside the grid (borehole) needs the
+    6-subprism branch — the factory must keep the general operator."""
+    from tomofastx_tpu.ops.matrixfree import MatrixFreeKernel
+
+    par, grid, data, cw = _setup(tmp_path, problem="magn")
+    data.Z = data.Z.copy()
+    data.Z[0] = 75.0  # inside the volume
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)
+    assert isinstance(op, MatrixFreeKernel)

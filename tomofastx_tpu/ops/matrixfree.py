@@ -194,11 +194,13 @@ def detect_lattice(grid):
 
 @dataclass
 class LatticeMatrixFreeKernel:
-    """Corner-lattice factorization of the gravity g_z matrix-free operator.
+    """Corner-lattice factorization of the matrix-free operator (gravity
+    g_z and the full magnetic family).
 
-    On a tensor-product grid the prism closed form is an alternating
-    2x2x2 corner sum of one antiderivative f (prism.gz_corner_potential),
-    and each corner is shared by up to 8 cells. Instead of evaluating 8
+    On a tensor-product grid the prism closed forms are alternating
+    2x2x2 corner sums of point antiderivatives (prism.gz_corner_potential
+    for g_z; prism.mag_corner_potentials, 5 channels, for the Sharma
+    tensor), and each corner is shared by up to 8 cells. Instead of evaluating 8
     corners per cell (the reference's per-cell loop,
     gravity_field.f90:131-195), evaluate f ONCE per lattice corner and
     difference the corner field back to per-cell rows:
@@ -223,12 +225,19 @@ class LatticeMatrixFreeKernel:
     yd: jax.Array
     zd: jax.Array
     cw: jax.Array  # (N,)
-    row_w: jax.Array  # (nrows_padded, 1)
+    row_w: jax.Array  # (nrows_padded, ndc)
     chunk: int
     nrows: int
     nx: int
     ny: int
     nz: int
+    # Static physics: "grav" (g_z) or "magn" (Sharma tensor, all
+    # susceptibility/vector x TMI/3-component combos; no borehole).
+    problem: str = "grav"
+    magv: Tuple[float, float, float] = (0.0, 0.0, 1.0)
+    intensity: float = 0.0
+    nmc: int = 1
+    ndc: int = 1
 
     @property
     def N(self) -> int:
@@ -236,45 +245,68 @@ class LatticeMatrixFreeKernel:
 
     @property
     def ncols(self) -> int:
-        return self.N
+        return self.nmc * self.N
 
-    def _corner_field(self, x, y, z):
-        """f at every lattice corner for one observation point:
-        (nz+1, ny+1, nx+1)."""
-        from tomofastx_tpu.ops.prism import gz_corner_potential
-
-        cx = (x - self.xe)[None, None, :]
-        cy = (y - self.ye)[None, :, None]
-        cz = (z - self.ze)[:, None, None]
-        return gz_corner_potential(cx, cy, cz)
-
-    def _rows_for_point(self, x, y, z):
-        """Per-cell g_z row for one observation point, via the corner
-        field: rows[i,j,k] = -(sum_{K,L,M} (-1)^(K+L+M) F[i+K,j+L,k+M]);
-        per axis out[i] = F[i] - F[i+1]. Local differences of the cell's
-        own 8 corner values — the generic operator's cancellation
-        behavior with ~1/8 the transcendental evaluations."""
-        from tomofastx_tpu.ops.prism import G_GRAV
-
-        g = self._corner_field(x, y, z)
+    @staticmethod
+    def _diff3(F):
+        """D[F](i,j,k) = sum_{K,L,M} (-1)^(K+L+M) F[i+K,j+L,k+M]
+        (per axis out[i] = F[i] - F[i+1]): corners -> cells, keeping the
+        cancellation LOCAL to each cell's own 8 corner values."""
+        g = F
         for ax in range(3):
             lo = [slice(None)] * 3
             hi = [slice(None)] * 3
             lo[ax] = slice(0, g.shape[ax] - 1)
             hi[ax] = slice(1, g.shape[ax])
             g = g[tuple(lo)] - g[tuple(hi)]
-        return -G_GRAV * g  # (nz, ny, nx)
+        return g
+
+    def _rows_for_point(self, x, y, z):
+        """Per-cell sensitivity rows for one observation point via the
+        corner-potential lattice: (nz, ny, nx, nmc, ndc)."""
+        from tomofastx_tpu.ops.prism import (
+            G_GRAV,
+            combine_mag_tensor,
+            gz_corner_potential,
+            mag_corner_potentials,
+        )
+
+        cx = (x - self.xe)[None, None, :]
+        cy = (y - self.ye)[None, :, None]
+        cz = (z - self.ze)[:, None, None]
+
+        if self.problem == "grav":
+            rows = -G_GRAV * self._diff3(gz_corner_potential(cx, cy, cz))
+            return rows[..., None, None]
+
+        f1, f2, f3, f4, f5 = mag_corner_potentials(cx, cy, cz)
+        # The tensor-to-row combination is LINEAR with scalar coefficients
+        # and the corner difference D is linear, so combine the corner
+        # potentials FIRST and difference once per output channel: TMI +
+        # susceptibility materializes ONE corner field instead of 5
+        # channels + 6 tensor arrays (the memory-bound part of this
+        # operator). Corner-space tensor with the parity validated against
+        # the dense sharmbox kernel (txx = D[-f1], txy = D[f3], ...,
+        # tzz = D[f1 + f2]; tests::test_matrixfree_equals_dense).
+        Fc = combine_mag_tensor(
+            (-f1, f3, f5), (f3, -f2, f4), (f5, f4, f1 + f2),
+            self.magv, self.intensity, self.nmc, self.ndc,
+        )  # (nz+1, ny+1, nx+1, nmc, ndc)
+        return self._diff3(Fc)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        y3 = (self.cw * x).reshape(self.nz, self.ny, self.nx)
+        x2 = x.reshape(self.nmc, self.N)
+        y = (self.cw[None, :] * x2).reshape(self.nmc, self.nz, self.ny, self.nx)
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
             xs, ys, zs, w = args
             d = jax.vmap(
-                lambda xx, yy, zz: jnp.sum(self._rows_for_point(xx, yy, zz) * y3)
+                lambda xx, yy, zz: jnp.einsum(
+                    "zyxkd,kzyx->d", self._rows_for_point(xx, yy, zz), y
+                )
             )(xs, ys, zs)
-            return w[:, 0] * d
+            return w * d
 
         parts = jax.lax.map(
             per_chunk,
@@ -282,22 +314,27 @@ class LatticeMatrixFreeKernel:
                 self.xd.reshape(nchunks, self.chunk),
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
-                self.row_w.reshape(nchunks, self.chunk, 1),
+                self.row_w.reshape(nchunks, self.chunk, self.ndc),
             ),
         )
-        return parts.reshape(-1)[: self.nrows]
+        return parts.reshape(-1, self.ndc)[: self.nrows].reshape(-1)
 
     def rmatvec(self, u: jax.Array) -> jax.Array:
-        u_pad = jnp.zeros((self.xd.shape[0],), u.dtype).at[: self.nrows].set(u)
-        u_pad = u_pad * self.row_w[:, 0]
+        u2 = u.reshape(self.nrows, self.ndc)
+        u_pad = (
+            jnp.zeros((self.xd.shape[0], self.ndc), u.dtype)
+            .at[: self.nrows]
+            .set(u2)
+        )
+        u_pad = u_pad * self.row_w
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(g, args):
             xs, ys, zs, uc = args
             rows = jax.vmap(self._rows_for_point)(xs, ys, zs)
-            return g + jnp.einsum("b,bzyx->zyx", uc, rows), None
+            return g + jnp.einsum("bd,bzyxkd->kzyx", uc, rows), None
 
-        g0 = jnp.zeros((self.nz, self.ny, self.nx), u.dtype)
+        g0 = jnp.zeros((self.nmc, self.nz, self.ny, self.nx), u.dtype)
         g3, _ = jax.lax.scan(
             per_chunk,
             g0,
@@ -305,24 +342,27 @@ class LatticeMatrixFreeKernel:
                 self.xd.reshape(nchunks, self.chunk),
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
-                u_pad.reshape(nchunks, self.chunk),
+                u_pad.reshape(nchunks, self.chunk, self.ndc),
             ),
         )
-        return self.cw * g3.reshape(-1)
+        g = self.cw[None, :] * g3.reshape(self.nmc, self.N)
+        return g.reshape(-1)
 
 
 def _lmfk_flatten(k: LatticeMatrixFreeKernel):
     children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w)
-    aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz)
+    aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz,
+           k.problem, k.magv, k.intensity, k.nmc, k.ndc)
     return children, aux
 
 
 def _lmfk_unflatten(aux, children):
     xe, ye, ze, xd, yd, zd, cw, row_w = children
-    chunk, nrows, nx, ny, nz = aux
+    chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc = aux
     return LatticeMatrixFreeKernel(
         xe=xe, ye=ye, ze=ze, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
         chunk=chunk, nrows=nrows, nx=nx, ny=ny, nz=nz,
+        problem=problem, magv=magv, intensity=intensity, nmc=nmc, ndc=ndc,
     )
 
 
@@ -397,14 +437,18 @@ def make_matrixfree_kernel(
     # factors into one antiderivative per lattice corner (~8x fewer
     # transcendentals per matvec). force_generic (tests) and meshes
     # needing cell padding keep the general per-cell operator.
-    if (
+    lattice_ok = (
         not force_generic
-        and phys.problem == "grav"
-        and phys.data_type == 1
-        and phys.ndc == 1
-        and phys.nmc == 1
         and pad_cells_to <= 1
-    ):
+        and (
+            (phys.problem == "grav" and phys.data_type == 1
+             and phys.ndc == 1 and phys.nmc == 1)
+            # Magnetics: every nmc/ndc combo; the 6-subprism borehole
+            # branch is per-cell and cannot share corners.
+            or (phys.problem == "magn" and not phys.handle_inside)
+        )
+    )
+    if lattice_ok:
         lat = detect_lattice(grid)
         if lat is not None:
             xe, ye, ze = lat
@@ -420,6 +464,8 @@ def make_matrixfree_kernel(
                 chunk=chunk,
                 nrows=nd,
                 nx=grid.nx, ny=grid.ny, nz=grid.nz,
+                problem=phys.problem, magv=phys.magv,
+                intensity=phys.intensity, nmc=phys.nmc, ndc=phys.ndc,
             )
             if validate:
                 probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))

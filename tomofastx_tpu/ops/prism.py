@@ -314,6 +314,70 @@ def sharmbox(x0, y0, z0, x1, x2, y1, y2, z1, z2):
     return (txx, txy, txz), (tyx, tyy, tyz), (tzx, tzy, tzz)
 
 
+def mag_corner_potentials(rx, ry, rz):
+    """Per-corner antiderivatives of the Sharma (1966) magnetic tensor:
+    every 8-term sum in sharmbox (magnetic_field.f90:321-457) is an
+    alternating corner sum of one of these five functions —
+
+        txx =  D[f1],  f1 = atan2(ry*rz, rx*R)
+        tyy =  D[f2],  f2 = atan2(rx*rz, ry*R)
+        txy = -D[f3],  f3 = log(R + rz)
+        tyz = -D[f4],  f4 = log(R + rx)
+        txz = -D[f5],  f5 = log(R + ry)
+        tzz = -(txx + tyy)
+
+    with D = sum_{K,L,M} (-1)^(K+L+M) at the cell's 8 corners. The atan2
+    arguments are corner-local quantities, so shared-corner evaluation is
+    exactly what the per-cell form computes; the logs use the same
+    f32-armored form (the f64 per-cell path uses log of a RATIO, equal up
+    to ~1 ulp). See LatticeMatrixFreeKernel."""
+    R = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    f1 = jnp.arctan2(ry * rz, rx * R)
+    f2 = jnp.arctan2(rx * rz, ry * R)
+    f3 = _log_R_plus(R, rz, rx * rx + ry * ry)
+    f4 = _log_R_plus(R, rx, ry * ry + rz * rz)
+    f5 = _log_R_plus(R, ry, rx * rx + rz * rz)
+    return f1, f2, f3, f4, f5
+
+
+def combine_mag_tensor(tx, ty, tz, magv, intensity,
+                       nmodel_components: int, ndata_components: int):
+    """Combine magnetic tensor rows into sensitivity entries — the
+    susceptibility / magnetization-vector x TMI / 3-component dispatch and
+    unit scaling of magnetic_field_magprism (magnetic_field.f90:118-297).
+    tx/ty/tz: 3-tuples of arrays (any shape); returns
+    (..., nmodel_components, ndata_components)."""
+    mu0_T2nT = 4.0e-7 * math.pi * 1.0e9
+    mv = magv
+
+    if nmodel_components == 1:
+        mx = tx[0] * mv[0] + tx[1] * mv[1] + tx[2] * mv[2]
+        my = ty[0] * mv[0] + ty[1] * mv[1] + ty[2] * mv[2]
+        mz = tz[0] * mv[0] + tz[1] * mv[1] + tz[2] * mv[2]
+        if ndata_components == 1:
+            cols = [[mx * mv[0] + my * mv[1] + mz * mv[2]]]
+        elif ndata_components == 3:
+            cols = [[mx, my, mz]]
+        else:
+            raise ValueError("Wrong number of data components in magprism_row!")
+        scale = intensity
+    elif nmodel_components == 3:
+        if ndata_components == 1:
+            cols = [
+                [tx[k] * mv[0] + ty[k] * mv[1] + tz[k] * mv[2]] for k in range(3)
+            ]
+        elif ndata_components == 3:
+            cols = [[tx[k], ty[k], tz[k]] for k in range(3)]
+        else:
+            raise ValueError("Wrong number of data components in magprism_row!")
+        scale = mu0_T2nT
+    else:
+        raise ValueError("Wrong number of model components in magprism_row!")
+
+    out = jnp.stack([jnp.stack(kcols, axis=-1) for kcols in cols], axis=-2)
+    return out * (scale / (4.0 * math.pi))
+
+
 def _subprism_bounds(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, width):
     """The 6 sub-prisms around a void of half-width `width` at the observation
     point inside a cell (reference: magnetic_field.f90:155-203).
@@ -386,39 +450,11 @@ def magprism_row(
     susceptibility (1 model comp) or magnetization vector (3 comps); TMI
     (1 data comp) or three-component data (3 comps); unit scaling included.
     """
-    mu0_T2nT = 4.0e-7 * math.pi * 1.0e9
-
     tx, ty, tz = magnetic_tensor(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, handle_inside)
-    mv = magv  # (3,) tuple of scalars
-
-    cols = []
-    if nmodel_components == 1:
-        mx = tx[0] * mv[0] + tx[1] * mv[1] + tx[2] * mv[2]
-        my = ty[0] * mv[0] + ty[1] * mv[1] + ty[2] * mv[2]
-        mz = tz[0] * mv[0] + tz[1] * mv[1] + tz[2] * mv[2]
-        if ndata_components == 1:
-            cols = [[mx * mv[0] + my * mv[1] + mz * mv[2]]]
-        elif ndata_components == 3:
-            cols = [[mx, my, mz]]
-        else:
-            raise ValueError("Wrong number of data components in magprism_row!")
-        scale = intensity
-    elif nmodel_components == 3:
-        if ndata_components == 1:
-            cols = [
-                [tx[k] * mv[0] + ty[k] * mv[1] + tz[k] * mv[2]] for k in range(3)
-            ]
-        elif ndata_components == 3:
-            cols = [[tx[k], ty[k], tz[k]] for k in range(3)]
-        else:
-            raise ValueError("Wrong number of data components in magprism_row!")
-        scale = mu0_T2nT
-    else:
-        raise ValueError("Wrong number of model components in magprism_row!")
-
     # (ncells, nmodel_components, ndata_components)
-    out = jnp.stack([jnp.stack(kcols, axis=-1) for kcols in cols], axis=-2)
-    return out * (scale / (4.0 * math.pi))
+    return combine_mag_tensor(
+        tx, ty, tz, magv, intensity, nmodel_components, ndata_components
+    )
 
 
 def validate_finite(name: str, arr):
