@@ -317,3 +317,37 @@ def test_refine_forward_fused_sharded(tmp_path):
     np.testing.assert_allclose(
         res_fm.models[0].val, res_host.models[0].val, rtol=1e-5, atol=1e-6
     )
+
+
+def test_refine_forward_joint_fused_matches_host(tmp_path):
+    """Joint grav+mag refineForward: both exact-physics forward operators
+    (gravity + magnetic corner-lattice) inside the fused scan match the
+    host-driven loop."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    par = f"{REF}/parfiles/hamersley/Parfile_hamersley_xgrad_joint.txt"
+    cfg = read_parfile(par)
+    cfg.path_output = str(tmp_path) + "/host/"
+    cfg.inversion.ninversions = 2
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    res_h = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg2 = read_parfile(par)
+    cfg2.path_output = str(tmp_path) + "/fused/"
+    cfg2.inversion.ninversions = 2
+    cfg2.grav.refine_forward = 1
+    cfg2.magn.refine_forward = 1
+    res_f = solve_problem_joint_gravmag(
+        cfg2, base_dir=REF, verbose=False, fused_chunk=2
+    )
+    # Cross-gradient coupling amplifies summation-order noise between the
+    # two loop drivers; compare at the L2 level (elementwise outliers are
+    # ~0.2% of cells at ~4e-3 relative).
+    for p in (0, 1):
+        a = np.asarray(res_f.models[p].val, np.float64).ravel()
+        b = np.asarray(res_h.models[p].val, np.float64).ravel()
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < 1e-4, f"problem {p}: fused vs host L2 rel diff {rel:.2e}"
