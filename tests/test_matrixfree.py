@@ -298,3 +298,19 @@ def test_lattice_magnetic_borehole_falls_back(tmp_path):
     data.Z[0] = 75.0  # inside the volume
     op = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)
     assert isinstance(op, MatrixFreeKernel)
+
+
+def test_lattice_selected_for_ftg_and_magnetics(tmp_path):
+    """The corner-lattice fast path covers gravity g_z, FTG (Gzz/full
+    tensor) and all magnetic combos on lattice grids."""
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+
+    for problem, data_type, nmc, ndc in [
+        ("grav", 1, 1, 1), ("grav", 2, 1, 1), ("grav", 2, 1, 6),
+        ("magn", 1, 1, 1), ("magn", 1, 3, 3),
+    ]:
+        par, grid, data, cw = _setup(tmp_path, problem, data_type)
+        par.nmodel_components, par.ndata_components = nmc, ndc
+        dw = np.ones((par.ndata, ndc))
+        op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+        assert isinstance(op, LatticeMatrixFreeKernel), (problem, data_type, nmc, ndc)

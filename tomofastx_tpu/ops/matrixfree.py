@@ -238,6 +238,7 @@ class LatticeMatrixFreeKernel:
     intensity: float = 0.0
     nmc: int = 1
     ndc: int = 1
+    data_type: int = 1  # gravity: 1 = g_z, 2 = gradiometry (FTG)
 
     @property
     def N(self) -> int:
@@ -267,6 +268,7 @@ class LatticeMatrixFreeKernel:
         from tomofastx_tpu.ops.prism import (
             G_GRAV,
             combine_mag_tensor,
+            ftg_corner_potentials,
             gz_corner_potential,
             mag_corner_potentials,
         )
@@ -275,9 +277,20 @@ class LatticeMatrixFreeKernel:
         cy = (y - self.ye)[None, :, None]
         cz = (z - self.ze)[:, None, None]
 
-        if self.problem == "grav":
+        if self.problem == "grav" and self.data_type == 1:
             rows = -G_GRAV * self._diff3(gz_corner_potential(cx, cy, cz))
             return rows[..., None, None]
+
+        if self.problem == "grav":  # data_type 2: FTG
+            # The gradiprism kernels flip z internally (ZZ = -(zd - Z)).
+            ps = ftg_corner_potentials(cx, cy, -cz)
+            if self.ndc == 1:  # Gzz only
+                rows = -G_GRAV * self._diff3(ps[2])
+                return rows[..., None, None]
+            rows = jnp.stack(
+                [-G_GRAV * self._diff3(pc) for pc in ps], axis=-1
+            )
+            return rows[..., None, :]
 
         f1, f2, f3, f4, f5 = mag_corner_potentials(cx, cy, cz)
         # The tensor-to-row combination is LINEAR with scalar coefficients
@@ -352,17 +365,19 @@ class LatticeMatrixFreeKernel:
 def _lmfk_flatten(k: LatticeMatrixFreeKernel):
     children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w)
     aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz,
-           k.problem, k.magv, k.intensity, k.nmc, k.ndc)
+           k.problem, k.magv, k.intensity, k.nmc, k.ndc, k.data_type)
     return children, aux
 
 
 def _lmfk_unflatten(aux, children):
     xe, ye, ze, xd, yd, zd, cw, row_w = children
-    chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc = aux
+    (chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc,
+     data_type) = aux
     return LatticeMatrixFreeKernel(
         xe=xe, ye=ye, ze=ze, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
         chunk=chunk, nrows=nrows, nx=nx, ny=ny, nz=nz,
         problem=problem, magv=magv, intensity=intensity, nmc=nmc, ndc=ndc,
+        data_type=data_type,
     )
 
 
@@ -441,8 +456,7 @@ def make_matrixfree_kernel(
         not force_generic
         and pad_cells_to <= 1
         and (
-            (phys.problem == "grav" and phys.data_type == 1
-             and phys.ndc == 1 and phys.nmc == 1)
+            (phys.problem == "grav" and phys.nmc == 1)  # g_z and FTG
             # Magnetics: every nmc/ndc combo; the 6-subprism borehole
             # branch is per-cell and cannot share corners.
             or (phys.problem == "magn" and not phys.handle_inside)
@@ -466,6 +480,7 @@ def make_matrixfree_kernel(
                 nx=grid.nx, ny=grid.ny, nz=grid.nz,
                 problem=phys.problem, magv=phys.magv,
                 intensity=phys.intensity, nmc=phys.nmc, ndc=phys.ndc,
+                data_type=phys.data_type,
             )
             if validate:
                 probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))

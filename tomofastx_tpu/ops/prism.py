@@ -340,6 +340,23 @@ def mag_corner_potentials(rx, ry, rz):
     return f1, f2, f3, f4, f5
 
 
+def ftg_corner_potentials(x, y, z):
+    """Per-corner antiderivatives of the FTG tensor (Dubey & Tiwari 2015,
+    gravity_field.f90:207-364), order (xx, yy, zz, xy, yz, xz):
+    G_c = -D[p_c] with D = sum (-1)^(K+L+M) over the cell's corners.
+    NOTE the caller must pass the FLIPPED z offset (ze - zd) — the
+    reference's gradiprism kernels negate ZZ internally."""
+    Rs = jnp.sqrt(x * x + y * y + z * z)
+    p_xx = _wrap_atan2(x * y, x * x + Rs * z + z * z)
+    p_yy = _wrap_atan2(x * y, Rs * Rs + Rs * z - x * x)
+    vzz = -jnp.arctan2(x * y, Rs * z)
+    p_zz = jnp.where(vzz < 0.0, vzz + TWO_PI, vzz)
+    p_xy = _log_R_plus(Rs, z, x * x + y * y)
+    p_yz = _half_log_ratio(Rs, x, y * y + z * z)
+    p_xz = _half_log_ratio(Rs, y, x * x + z * z)
+    return p_xx, p_yy, p_zz, p_xy, p_yz, p_xz
+
+
 def combine_mag_tensor(tx, ty, tz, magv, intensity,
                        nmodel_components: int, ndata_components: int):
     """Combine magnetic tensor rows into sensitivity entries — the
