@@ -1,16 +1,19 @@
-"""4-million-cell matrix-free demo: the no-storage, beyond-HBM mode.
+"""Multi-million-cell matrix-free demo: the no-storage, beyond-HBM mode.
 
-200 x 200 x 100 = 4,000,000 cells with 2,025 observations on ONE v5e: the
-dense kernel would be 30 GB f32 / 15 GB bf16 — beyond the 16 GB chip in
-any stored representation. `tpu.kernelFormat = matrixfree` regenerates the
-closed-form prism rows inside every matvec, so kernel memory is ZERO and
-the model size is bounded only by the (N,)-vector working set. This is the
-top rung of the capacity ladder (BASELINE.md): dense f32 to ~1M cells,
-bf16 (+refinement) to ~2M, matrix-free beyond.
+Default: 200 x 200 x 100 = 4,000,000 cells with 2,025 observations on ONE
+v5e — the dense kernel would be 30 GB f32 / 15 GB bf16, beyond the 16 GB
+chip in any stored representation. `tpu.kernelFormat = matrixfree`
+regenerates the closed-form prism rows inside every matvec (via the
+corner-lattice operator), so kernel memory is ZERO and the model size is
+bounded only by the (N,)-vector working set. This is the top rung of the
+capacity ladder (BASELINE.md): dense f32 to ~1M cells, bf16 (+refinement)
+to ~2M, matrix-free beyond.
 
-Writes CAPACITY_4M_MATRIXFREE.json. Run on the TPU:
-    python scripts/run_4m_matrixfree.py
-    MC_SMALL=1 python scripts/run_4m_matrixfree.py   # smoke variant
+Run on the TPU:
+    python scripts/run_4m_matrixfree.py        # 4M cells -> CAPACITY_4M_MATRIXFREE.json
+    MC_8M=1 python scripts/run_4m_matrixfree.py  # 8.19M cells (dense would
+                                                 # be 62 GB) -> CAPACITY_8M_MATRIXFREE.json
+    MC_SMALL=1 python scripts/run_4m_matrixfree.py  # smoke variant
 """
 
 import json
@@ -37,9 +40,16 @@ def main():
     import jax.numpy as jnp
 
     small = os.environ.get("MC_SMALL", "0") == "1"
+    big = os.environ.get("MC_8M", "0") == "1"
     if small:
         nx, ny, nz, nside = 40, 40, 20, 20
         majors, minors = 2, 10
+    elif big:
+        # 8,192,000 cells: the dense kernel would be 60 GB f32 / 30 GB
+        # bf16 — pure matrix-free territory (143x the reference's largest
+        # shipped fixture).
+        nx, ny, nz, nside = 256, 250, 128, 45
+        majors, minors = 3, 15
     else:
         nx, ny, nz, nside = 200, 200, 100, 45
         majors, minors = 3, 20
@@ -115,7 +125,9 @@ def main():
     from tomofastx_tpu.utils.memory import report as memory_report
     out["memory_report"] = memory_report("")
 
-    path = os.path.join(REPO, "CAPACITY_4M_MATRIXFREE.json")
+    path = os.path.join(
+        REPO, "CAPACITY_8M_MATRIXFREE.json" if big else "CAPACITY_4M_MATRIXFREE.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))

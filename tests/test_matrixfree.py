@@ -314,3 +314,30 @@ def test_lattice_selected_for_ftg_and_magnetics(tmp_path):
         dw = np.ones((par.ndata, ndc))
         op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
         assert isinstance(op, LatticeMatrixFreeKernel), (problem, data_type, nmc, ndc)
+
+
+def test_refine_forward_mixed_formats(tmp_path):
+    """Joint run with one matrix-free and one stored-kernel problem +
+    tpu.refineForward: the stored-kernel problem must still get an
+    exact-physics refinement forward (previously one matrix-free problem
+    silently disabled refinement for BOTH)."""
+    import os
+
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    par = f"{REF}/parfiles/hamersley/Parfile_hamersley_xgrad_joint.txt"
+    cfg = read_parfile(par)
+    cfg.path_output = str(tmp_path) + "/mixed/"
+    cfg.inversion.ninversions = 2
+    cfg.grav.kernel_format = "matrixfree"
+    cfg.grav.compression_type = 0
+    cfg.inversion.compression_type = 0
+    cfg.magn.compression_type = 0
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+    assert np.all(np.isfinite(res.models[GRAV].val))
+    assert np.all(np.isfinite(res.models[MAGN].val))
+    assert res.cost_data[GRAV] < 0.5 and res.cost_data[MAGN] < 0.5

@@ -496,20 +496,28 @@ def solve_problem_joint_gravmag(
             make_matrixfree_kernel,
         )
 
-        if any(
-            ctxs[i].kernel is None
+        mf_already = [
+            i for i in active
+            if ctxs[i].kernel is None
             and isinstance(
                 ctxs[i].operator, (MatrixFreeKernel, LatticeMatrixFreeKernel)
             )
-            for i in active
-        ):
-            # Matrix-free solve mode is already exact physics end-to-end.
+        ]
+        if len(mf_already) == len(active):
+            # Every solve operator IS exact physics already.
             log("NOTE: tpu.refineForward is a no-op with kernelFormat = "
                 "matrixfree (the solve already uses exact physics).")
             refine_fwd = False
         else:
             for i in active:
                 ctx = ctxs[i]
+                if i in mf_already:
+                    # This problem's solve operator is already exact
+                    # physics — reuse it as the refinement forward so a
+                    # mixed-format joint run still refines the OTHER
+                    # (stored-kernel) problem.
+                    ctx.forward_op = ctx.operator
+                    continue
                 ctx.forward_op = make_matrixfree_kernel(
                     _dc.replace(ctx.par, compression_type=0),
                     ctx.model.grid, ctx.data, ctx.column_weight,

@@ -168,7 +168,7 @@ def detect_lattice(grid):
     per-cell operator."""
     nx, ny, nz = grid.nx, grid.ny, grid.nz
 
-    def edges(lo, hi, shape, axis):
+    def edges(lo, hi, axis):
         a = np.asarray(lo).reshape(nz, ny, nx)
         b = np.asarray(hi).reshape(nz, ny, nx)
         # lo must vary only along `axis` (0 = z, 1 = y, 2 = x).
@@ -184,9 +184,9 @@ def detect_lattice(grid):
             return None
         return np.concatenate([lo1, hi1[-1:]])
 
-    xe = edges(grid.X1, grid.X2, None, 2)
-    ye = edges(grid.Y1, grid.Y2, None, 1)
-    ze = edges(grid.Z1, grid.Z2, None, 0)
+    xe = edges(grid.X1, grid.X2, 2)
+    ye = edges(grid.Y1, grid.Y2, 1)
+    ze = edges(grid.Z1, grid.Z2, 0)
     if xe is None or ye is None or ze is None:
         return None
     return xe, ye, ze
@@ -390,8 +390,12 @@ def make_matrixfree_kernel(
     par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32,
     chunk=None, pad_cells_to: int = 1, validate: bool = True,
     force_generic: bool = False,
-) -> MatrixFreeKernel:
+) -> "MatrixFreeKernel | LatticeMatrixFreeKernel":
     """Build the operator from the problem description (no kernel storage).
+
+    Returns the corner-lattice fast operator (LatticeMatrixFreeKernel,
+    2.1-3.5x) when the grid is a tensor-product lattice and the physics
+    supports it; otherwise the general per-cell MatrixFreeKernel.
 
     pad_cells_to > 1 zero-pads the cell axis to that multiple (dummy far
     prisms with cw = 0) so the operator shards over a device mesh of that
@@ -448,10 +452,13 @@ def make_matrixfree_kernel(
     row_w = np.zeros((nd_pad, phys.ndc))
     row_w[:nd] = problem_weight * np.asarray(data_weight).reshape(nd, phys.ndc)
 
-    # Corner-lattice fast path: gravity g_z on a tensor-product grid
-    # factors into one antiderivative per lattice corner (~8x fewer
-    # transcendentals per matvec). force_generic (tests) and meshes
-    # needing cell padding keep the general per-cell operator.
+    # Corner-lattice fast path: on a tensor-product grid the closed
+    # forms factor into one antiderivative per lattice corner (~8x fewer
+    # transcendentals per matvec). force_generic (tests) keeps the
+    # general operator, as does ANY device mesh (pad_cells_to > 1): the
+    # lattice kernel has no cells-sharded layout yet, so meshed
+    # matrix-free runs always use the general sharded operator — even
+    # when N divides the mesh (TODO.md).
     lattice_ok = (
         not force_generic
         and pad_cells_to <= 1

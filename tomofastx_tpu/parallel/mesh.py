@@ -136,6 +136,17 @@ def shard_kernel(k, mesh: Mesh):
             N_true=k.N_true,
         )
 
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+
+    if isinstance(k, LatticeMatrixFreeKernel):
+        # Deliberate replicate: the lattice operator has no cells-sharded
+        # layout (its big per-matvec object is the per-observation corner
+        # field, not a stored array); meshed matrix-free SOLVES build the
+        # general sharded operator instead (make_matrixfree_kernel with
+        # pad_cells_to > 1), so this branch is reached only for
+        # refinement forwards reused from a single-device build.
+        return jax.device_put(k, NamedSharding(mesh, P()))
+
     # Unknown operator type: replicate.
     return jax.device_put(k, NamedSharding(mesh, P()))
 
