@@ -85,6 +85,10 @@ class MatrixFreeKernel:
     def ncols(self) -> int:
         return self.phys.nmc * (self.N_true if self.N_true is not None else self.N)
 
+    # NOTE: matvec/rmatvec share their chunking/padding/output-slicing
+    # scaffold with LatticeMatrixFreeKernel below — a change to the
+    # observation padding, row-weight application, or [:nrows] slicing
+    # here must be mirrored there (and vice versa).
     def _chunk_rows(self, xs, ys, zs):
         return jax.vmap(lambda x, y, z: _rows_for_point(self.phys, self.grid6, x, y, z))(
             xs, ys, zs
