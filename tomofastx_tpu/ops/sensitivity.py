@@ -137,7 +137,27 @@ def _distance_weight(X1, X2, Y1, Y2, Z1, Z2, xd, yd, zd, power: float, beta: flo
         integral = integral * dV / 8.0
         return integral**2
 
-    wr = jnp.sum(jax.vmap(per_data)(xd, yd, zd), axis=0)  # (N,)
+    # Accumulate over data points in chunks: a plain vmap materializes an
+    # (ndata, N) intermediate before the reduction — 64 GB at the 4M-cell
+    # x 2k-data scale. Chunked map keeps memory at chunk x N while
+    # preserving a deterministic reduction order.
+    N = X1.shape[0]
+    nd = xd.shape[0]
+    chunk = max(1, min(nd, (1 << 26) // max(N, 1)))
+    nchunks = -(-nd // chunk)
+    nd_pad = nchunks * chunk
+    # Far-away dummy points contribute ~(1/R0_far)^2p ~ 0 to the sum.
+    fill = jnp.max(jnp.abs(px)) + jnp.max(jnp.abs(py)) + jnp.max(jnp.abs(pz)) + 1.0e9
+    xp = jnp.full((nd_pad,), fill, xd.dtype).at[:nd].set(xd)
+    yp = jnp.full((nd_pad,), fill, yd.dtype).at[:nd].set(yd)
+    zp = jnp.full((nd_pad,), fill, zd.dtype).at[:nd].set(zd)
+
+    parts = jax.lax.map(
+        lambda args: jnp.sum(jax.vmap(per_data)(*args), axis=0),
+        (xp.reshape(nchunks, chunk), yp.reshape(nchunks, chunk),
+         zp.reshape(nchunks, chunk)),
+    )  # (nchunks, N)
+    wr = jnp.sum(parts, axis=0)
     return (1.0 / jnp.sqrt(dV)) * wr ** (beta / 4.0)
 
 
