@@ -99,6 +99,60 @@ def test_matrixfree_e2e(tmp_path):
     )
 
 
+def test_matrixfree_e2e_meshed_lattice(tmp_path):
+    """Full matrix-free inversion on the 8-device mesh keeps the
+    corner-lattice fast operator (observation-sharded, not the general
+    per-cell fallback) and matches the unsharded solve."""
+    import os
+
+    import jax
+
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+    from tomofastx_tpu.parallel.mesh import make_mesh, shard_kernel
+
+    tmp = str(tmp_path)
+    cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=20)
+    synth = os.path.join(tmp, "synth.txt")
+    vals = np.zeros((N, 1))
+    vals[30:50] = 250.0
+    write_values_file(synth, vals)
+    cfg.grav.use_synthetic_model = 1
+    cfg.grav.synthetic_model_file = synth
+    cfg.inversion.ninversions = 2
+    cfg.grav.kernel_format = "matrixfree"
+
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir="/", verbose=False)
+
+    # The meshed build keeps the lattice fast path (pad_cells_to is
+    # irrelevant to it: it shards over observations, not cells).
+    from tomofastx_tpu.config.parfile import GRAV as _G
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops import sensitivity as sens
+    from tomofastx_tpu.ops.matrixfree import make_matrixfree_kernel
+
+    par = cfg.problem_params(_G)
+    grid = model_io.read_model_grid(grid_path, NX, NY, NZ)
+    data = data_io.read_data_points(data_path, 20, 1, grid_only=True)
+    cw = sens.calculate_depth_weight(par, grid, data)
+    dw = np.ones((par.ndata, 1))
+    op = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, dw, pad_cells_to=8
+    )
+    assert isinstance(op, LatticeMatrixFreeKernel)
+    assert shard_kernel(op, make_mesh(8)).mesh is not None
+
+    cfg.path_output = tmp + "/out_mesh/"
+    mesh = make_mesh(8)
+    res_mesh = solve_problem_joint_gravmag(
+        cfg, base_dir="/", verbose=False, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        res_mesh.models[GRAV].val, res_plain.models[GRAV].val,
+        rtol=1e-8, atol=1e-10,
+    )
+
+
 def test_mixed_precision_build(tmp_path):
     """near_field_f64 K-nearest patching: equals the full-f64 kernel for the
     patched cells, f32-level elsewhere."""

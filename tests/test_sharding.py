@@ -222,9 +222,15 @@ def test_matrixfree_sharded_parity(tmp_path):
     cw = sens.calculate_depth_weight(par, grid, data)
     dw = np.ones((par.ndata, par.ndata_components))
 
-    op_plain = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+    # force_generic: this test covers the general per-cell operator's
+    # cells-sharded pad-to-multiple layout; the lattice fast path shards
+    # over observations instead (test_lattice_sharded_parity below).
+    op_plain = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, dw, jnp.float64, force_generic=True
+    )
     op_pad = make_matrixfree_kernel(
-        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=8
+        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=8,
+        force_generic=True,
     )
     mesh = make_mesh(8)
     op_sh = shard_kernel(op_pad, mesh)
@@ -238,6 +244,67 @@ def test_matrixfree_sharded_parity(tmp_path):
     with mesh:
         y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(op_sh, x))
         g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(op_sh, u))
+    np.testing.assert_allclose(y_sh, y_ref, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("problem", ["grav", "magn"])
+def test_lattice_sharded_parity(tmp_path, problem):
+    """Corner-lattice operator observation-sharded over the 8-device mesh
+    (shard_kernel rechunks to chunk*n and sets op.mesh; matvec/rmatvec
+    split each chunk's points across devices) == the unsharded lattice
+    operator, exactly. nd = 13 does not divide 8 -> exercises fill rows.
+    Reference bar: data-row parallel forward (sensitivity_gravmag.F90:179-189)
+    + Allreduce-summed adjoint (lsqr_solver2.F90:208-214)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util_fixtures import make_base_config
+    from tomofastx_tpu.config.parfile import GRAV, MAGN
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops import sensitivity as sens
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        make_matrixfree_kernel,
+    )
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    cfg, grid_path, data_path = make_base_config(str(tmp_path), 6, 5, 4, ndata=13)
+    grid = model_io.read_model_grid(grid_path, 6, 5, 4)
+    if problem == "grav":
+        par = cfg.problem_params(GRAV)
+    else:
+        par = cfg.problem_params(MAGN)
+        par.ndata = 13
+        par.data_grid_file = cfg.grav.data_grid_file
+    data = data_io.read_data_points(data_path, 13, par.ndata_components, grid_only=True)
+    cw = sens.calculate_depth_weight(par, grid, data)
+    dw = np.ones((par.ndata, par.ndata_components))
+
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float64)
+    assert isinstance(op, LatticeMatrixFreeKernel)
+    mesh = make_mesh(8)
+    op_sh = shard_kernel(op, mesh)
+    assert op_sh.mesh is mesh
+    assert op_sh.chunk == op.chunk * 8
+    assert op_sh.xd.shape[0] % op_sh.chunk == 0
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(op.ncols,)))
+    u = jnp.asarray(rng.normal(size=(par.ndata * par.ndata_components,)))
+    y_ref = np.asarray(op.matvec(x))
+    g_ref = np.asarray(op.rmatvec(u))
+    with mesh:
+        y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(op_sh, x))
+        g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(op_sh, u))
+        # The adjoint must carry the psum over observation shards.
+        hlo = (
+            jax.jit(lambda k, v: k.rmatvec(v))
+            .lower(op_sh, u)
+            .compile()
+            .as_text()
+        )
+    assert "all-reduce" in hlo
     np.testing.assert_allclose(y_sh, y_ref, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-10, atol=1e-12)
 

@@ -243,6 +243,15 @@ class LatticeMatrixFreeKernel:
     nmc: int = 1
     ndc: int = 1
     data_type: int = 1  # gravity: 1 = g_z, 2 = gradiometry (FTG)
+    # Observation sharding (parallel/mesh.py::shard_kernel): when set, each
+    # per-chunk batch of observation points is split across the mesh —
+    # every device evaluates the corner fields for chunk/n points against
+    # the REPLICATED model grid, GSPMD all-gathers the matvec data outputs
+    # and psums the rmatvec gradient contraction. This is the reference's
+    # data-row split of the forward (sensitivity_gravmag.F90:179-189)
+    # composed with its Allreduce-summed adjoint (lsqr_solver2.F90:208-214),
+    # re-expressed as sharding constraints. Requires chunk % mesh size == 0.
+    mesh: "jax.sharding.Mesh | None" = None
 
     @property
     def N(self) -> int:
@@ -311,13 +320,26 @@ class LatticeMatrixFreeKernel:
         )  # (nz+1, ny+1, nx+1, nmc, ndc)
         return self._diff3(Fc)
 
+    def _shard_obs(self, xs, ys, zs, w):
+        """Constrain one chunk's observation batch to split over the mesh
+        (no-op when unmeshed)."""
+        if self.mesh is None:
+            return xs, ys, zs, w
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        s1 = NamedSharding(self.mesh, P(ax))
+        s2 = NamedSharding(self.mesh, P(ax, None))
+        c = jax.lax.with_sharding_constraint
+        return c(xs, s1), c(ys, s1), c(zs, s1), c(w, s2)
+
     def matvec(self, x: jax.Array) -> jax.Array:
         x2 = x.reshape(self.nmc, self.N)
         y = (self.cw[None, :] * x2).reshape(self.nmc, self.nz, self.ny, self.nx)
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
-            xs, ys, zs, w = args
+            xs, ys, zs, w = self._shard_obs(*args)
             d = jax.vmap(
                 lambda xx, yy, zz: jnp.einsum(
                     "zyxkd,kzyx->d", self._rows_for_point(xx, yy, zz), y
@@ -347,7 +369,7 @@ class LatticeMatrixFreeKernel:
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(g, args):
-            xs, ys, zs, uc = args
+            xs, ys, zs, uc = self._shard_obs(*args)
             rows = jax.vmap(self._rows_for_point)(xs, ys, zs)
             return g + jnp.einsum("bd,bzyxkd->kzyx", uc, rows), None
 
@@ -369,19 +391,20 @@ class LatticeMatrixFreeKernel:
 def _lmfk_flatten(k: LatticeMatrixFreeKernel):
     children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w)
     aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz,
-           k.problem, k.magv, k.intensity, k.nmc, k.ndc, k.data_type)
+           k.problem, k.magv, k.intensity, k.nmc, k.ndc, k.data_type,
+           k.mesh)
     return children, aux
 
 
 def _lmfk_unflatten(aux, children):
     xe, ye, ze, xd, yd, zd, cw, row_w = children
     (chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc,
-     data_type) = aux
+     data_type, mesh) = aux
     return LatticeMatrixFreeKernel(
         xe=xe, ye=ye, ze=ze, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
         chunk=chunk, nrows=nrows, nx=nx, ny=ny, nz=nz,
         problem=problem, magv=magv, intensity=intensity, nmc=nmc, ndc=ndc,
-        data_type=data_type,
+        data_type=data_type, mesh=mesh,
     )
 
 
@@ -459,13 +482,12 @@ def make_matrixfree_kernel(
     # Corner-lattice fast path: on a tensor-product grid the closed
     # forms factor into one antiderivative per lattice corner (~8x fewer
     # transcendentals per matvec). force_generic (tests) keeps the
-    # general operator, as does ANY device mesh (pad_cells_to > 1): the
-    # lattice kernel has no cells-sharded layout yet, so meshed
-    # matrix-free runs always use the general sharded operator — even
-    # when N divides the mesh (TODO.md).
+    # general operator. Under a device mesh (pad_cells_to > 1) the
+    # lattice operator needs NO cell padding — it shards over the
+    # observation axis instead (parallel/mesh.py::shard_kernel sets
+    # op.mesh), so the fast path is kept for meshed runs too.
     lattice_ok = (
         not force_generic
-        and pad_cells_to <= 1
         and (
             (phys.problem == "grav" and phys.nmc == 1)  # g_z and FTG
             # Magnetics: every nmc/ndc combo; the 6-subprism borehole

@@ -139,13 +139,52 @@ def shard_kernel(k, mesh: Mesh):
     from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
 
     if isinstance(k, LatticeMatrixFreeKernel):
-        # Deliberate replicate: the lattice operator has no cells-sharded
-        # layout (its big per-matvec object is the per-observation corner
-        # field, not a stored array); meshed matrix-free SOLVES build the
-        # general sharded operator instead (make_matrixfree_kernel with
-        # pad_cells_to > 1), so this branch is reached only for
-        # refinement forwards reused from a single-device build.
-        return jax.device_put(k, NamedSharding(mesh, P()))
+        # Observation-sharded layout: the lattice operator's big per-matvec
+        # object is the per-observation corner field (nothing stored over
+        # cells), so it shards over the DATA axis — the reference's
+        # data-row split of the forward (sensitivity_gravmag.F90:179-189).
+        # Model-space stays replicated; matvec/rmatvec apply per-chunk
+        # sharding constraints (ops/matrixfree.py::_shard_obs) so each
+        # device evaluates chunk/n observation points and GSPMD inserts the
+        # all-gather (matvec) / psum (rmatvec). Rechunk to chunk*n — same
+        # per-device corner-field footprint as unsharded, n x fewer scan
+        # steps — and re-pad the observation arrays to the new multiple
+        # (fill rows parked far outside the lattice, row_w = 0).
+        new_chunk = k.chunk * n
+        nd_pad = ((k.nrows + new_chunk - 1) // new_chunk) * new_chunk
+        far = (
+            float(np.max(np.asarray(k.xe))) + 1.0e6,
+            float(np.max(np.asarray(k.ye))) + 1.0e6,
+            float(np.min(np.asarray(k.ze))) - 1.0e6,
+        )
+
+        def repad(a, fill):
+            a = np.asarray(a)
+            out = np.full(nd_pad, fill, a.dtype)
+            out[: k.nrows] = a[: k.nrows]
+            return jnp.asarray(out)
+
+        row_w = np.asarray(k.row_w)
+        rw = np.zeros((nd_pad, k.ndc), row_w.dtype)
+        rw[: k.nrows] = row_w[: k.nrows]
+
+        rep = NamedSharding(mesh, P())
+        return LatticeMatrixFreeKernel(
+            xe=jax.device_put(k.xe, rep),
+            ye=jax.device_put(k.ye, rep),
+            ze=jax.device_put(k.ze, rep),
+            xd=jax.device_put(repad(k.xd, far[0]), rep),
+            yd=jax.device_put(repad(k.yd, far[1]), rep),
+            zd=jax.device_put(repad(k.zd, far[2]), rep),
+            cw=jax.device_put(k.cw, rep),
+            row_w=jax.device_put(jnp.asarray(rw), rep),
+            chunk=new_chunk,
+            nrows=k.nrows,
+            nx=k.nx, ny=k.ny, nz=k.nz,
+            problem=k.problem, magv=k.magv, intensity=k.intensity,
+            nmc=k.nmc, ndc=k.ndc, data_type=k.data_type,
+            mesh=mesh,
+        )
 
     # Unknown operator type: replicate.
     return jax.device_put(k, NamedSharding(mesh, P()))
