@@ -58,7 +58,7 @@ def main():
     N = nx * ny * nz
     nd = nside * nside
 
-    work = "/tmp/four_m_mf"
+    work = f"/tmp/four_m_mf_{nx}x{ny}x{nz}"
     os.makedirs(work, exist_ok=True)
     t0 = time.time()
     i, j, k = write_grid_file_fast(f"{work}/grid.txt", nx, ny, nz, hx, hy, hz)
@@ -70,19 +70,19 @@ def main():
         & (k >= nz // 4) & (k < nz // 4 + nz // 4)
     )
     val[body] = 500.0
-    with open(f"{work}/true_model.txt", "w") as f:
-        f.write(f"{N}\n")
-        np.savetxt(f, val[:, None], fmt="%.2f")
+    from tomofastx_tpu.io.tableio import save_table
+
+    save_table(f"{work}/true_model.txt", val[:, None], fmt="%.2f",
+               header=f"{N}")
 
     xs = (np.arange(nside) + 0.5) * (nx * hx / nside)
     ys = (np.arange(nside) + 0.5) * (ny * hy / nside)
     X, Y = np.meshgrid(xs, ys, indexing="ij")
-    with open(f"{work}/data.txt", "w") as f:
-        f.write(f"{nd}\n")
-        np.savetxt(
-            f, np.column_stack([X.ravel(), Y.ravel(), np.full(nd, -0.1), np.zeros(nd)]),
-            fmt="%.2f %.2f %.2f %.1f",
-        )
+    save_table(
+        f"{work}/data.txt",
+        np.column_stack([X.ravel(), Y.ravel(), np.full(nd, -0.1), np.zeros(nd)]),
+        fmt="%.2f %.2f %.2f %.1f", header=f"{nd}",
+    )
     print(f"fixtures written in {time.time() - t0:.0f}s", flush=True)
 
     from tomofastx_tpu.config.parfile import parse_parfile_lines

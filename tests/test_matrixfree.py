@@ -233,7 +233,8 @@ def test_matrixfree_padded_cells_equal_unpadded(tmp_path):
         par, grid, data, cw, 1.0, dw, jnp.float64, force_generic=True
     )
     opp = make_matrixfree_kernel(
-        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=7
+        par, grid, data, cw, 1.0, dw, jnp.float64, pad_cells_to=7,
+        force_generic=True,
     )
     assert opp.N % 7 == 0 and opp.ncols == op.ncols
     rng = np.random.default_rng(0)

@@ -1036,7 +1036,9 @@ def _read_mixtures(cfg: Config, base_dir: str) -> dict:
         nclusters_read = int(f.readline().split()[0])
         if nclusters_read != C:
             raise ValueError("The number of clusters is inconsistent!")
-        table = np.loadtxt(f, ndmin=2)
+    from tomofastx_tpu.io.tableio import load_table
+
+    table = load_table(os.path.join(base_dir, ipar.mixture_file), skiprows=1)
     cluster_weight = table[:, 0]
     mu = np.stack([table[:, 1], table[:, 3]])  # (2, C)
     sigma = np.stack([table[:, 2], table[:, 4], table[:, 5]])  # (3, C): s11, s22, s12
@@ -1046,7 +1048,9 @@ def _read_mixtures(cfg: Config, base_dir: str) -> dict:
             n_read, c_read = (int(t) for t in f.readline().split()[:2])
             if n_read != N or c_read != C:
                 raise ValueError("The clustering cell weights are inconsistent!")
-            cell_weight = np.loadtxt(f, ndmin=2)[:, :C]
+        cell_weight = load_table(
+            os.path.join(base_dir, ipar.cell_weights_file), skiprows=1
+        )[:, :C]
     else:
         cw = cluster_weight / cluster_weight.sum()
         cell_weight = np.repeat(cw[None, :], N, axis=0)

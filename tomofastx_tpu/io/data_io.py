@@ -10,6 +10,7 @@ import os
 
 import numpy as np
 
+from tomofastx_tpu.io.tableio import load_table, save_table
 from tomofastx_tpu.models.data import SurveyData
 
 
@@ -34,7 +35,7 @@ def read_data_points(
             raise ValueError(
                 f"The number of data in Parfile ({ndata}) differs from the data file ({n_read})!"
             )
-        table = np.loadtxt(f, ndmin=2)
+    table = load_table(path, skiprows=1)
 
     if table.shape[0] != ndata or table.shape[1] < 3 + ncomponents:
         raise ValueError(
@@ -61,7 +62,7 @@ def read_data_values(data: SurveyData, path: str):
         n_read = int(f.readline().split()[0])
         if n_read != data.ndata:
             raise ValueError("The number of data in Parfile differs from the data file!")
-        table = np.loadtxt(f, ndmin=2)
+    table = load_table(path, skiprows=1)
     data.val_meas = table[:, 3 : 3 + data.ncomponents] * data.units_mult
 
 
@@ -71,7 +72,7 @@ def read_data_error(data: SurveyData, path: str):
         n_read = int(f.readline().split()[0])
         if n_read != data.ndata:
             raise ValueError("The number of data in Parfile differs from the data error file!")
-        table = np.loadtxt(f, ndmin=2)
+    table = load_table(path, skiprows=1)
     err = table[:, : data.ncomponents] * data.units_mult
     data.weight = 1.0 / err
 
@@ -83,6 +84,4 @@ def write_data_points(data: SurveyData, path: str, which: int):
     val = (data.val_meas if which == 1 else data.val_calc) / data.units_mult
     Z = data.Z if data.z_axis_dir == 1 else -data.Z
     table = np.column_stack([data.X, data.Y, Z, val])
-    with open(path, "w") as f:
-        f.write(f" {data.ndata}\n")
-        np.savetxt(f, table, fmt="%.9E")
+    save_table(path, table, fmt="%.9E", header=f" {data.ndata}")

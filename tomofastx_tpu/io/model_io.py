@@ -22,12 +22,11 @@ from tomofastx_tpu.models.model import ModelState
 
 
 def _load_table(path: str, skiprows: int = 1) -> np.ndarray:
-    """Fast whitespace table loader (2-D float array)."""
-    with open(path, "r") as f:
-        for _ in range(skiprows):
-            f.readline()
-        data = np.loadtxt(f, ndmin=2)
-    return data
+    """Fast whitespace table loader (2-D float array): native scanner
+    (io/_native) with numpy fallback."""
+    from tomofastx_tpu.io.tableio import load_table
+
+    return load_table(path, skiprows=skiprows, ndmin=2)
 
 
 def read_model_grid(path: str, nx: int, ny: int, nz: int, z_axis_dir: int = 1) -> Grid:
@@ -44,7 +43,7 @@ def read_model_grid(path: str, nx: int, ny: int, nz: int, z_axis_dir: int = 1) -
             raise ValueError(
                 f"Model grid file '{path}' has {n_read} cells, expected {N} ({nx}x{ny}x{nz})"
             )
-        table = np.loadtxt(f, ndmin=2)
+    table = _load_table(path, skiprows=1)
 
     ncols = table.shape[1]
     if ncols not in (9, 10, 12):
@@ -106,10 +105,10 @@ def write_model_ascii(model: ModelState, path: str):
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    from tomofastx_tpu.io.tableio import save_table
+
     vals = (model.val / model.units_mult).T  # (N, ncomponents)
-    with open(path, "w") as f:
-        f.write(f" {model.nelements_total}\n")
-        np.savetxt(f, vals, fmt="%.9E")
+    save_table(path, vals, fmt="%.9E", header=f" {model.nelements_total}")
 
 
 def read_bound_constraints(model: ModelState, path: str):
@@ -121,7 +120,7 @@ def read_bound_constraints(model: ModelState, path: str):
             raise ValueError(f"Bounds file has {n_read} cells, expected {model.nelements_total}")
         if nlithos_read != model.nlithos:
             raise ValueError(f"Bounds file has {nlithos_read} lithologies, expected {model.nlithos}")
-        table = np.loadtxt(f, ndmin=2)
+    table = _load_table(path, skiprows=1)
 
     L = model.nlithos
     if table.shape[1] < 2 * L + 1:
