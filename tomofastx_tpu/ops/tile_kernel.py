@@ -46,12 +46,14 @@ class TileKernel:
     """Block-sparse operator (nrows x ncols), tile-union packed both ways.
 
     sharded=True marks a mesh-placed kernel (parallel/mesh.py::shard_kernel:
-    both packs sharded over their tile axis). The contraction then uses the
-    XLA lowering — GSPMD partitions the gather+einsum over the tile axis
-    (x/u replicated, output all-gathered) exactly like the reference's
-    row/column-sharded CSR (lsqr_solver2.F90:228-245); pallas_call is a
-    custom call GSPMD cannot partition, so the Pallas fast path stays
-    single-device."""
+    both packs sharded over their tile axis). When `mesh` is also set and
+    the backend is TPU, the contraction runs the Pallas kernel PER DEVICE
+    under shard_map over the tile axis (x/u replicated in, tile-local
+    outputs concatenated by the out_spec) — the reference's row/column
+    sharded CSR (lsqr_solver2.F90:228-245) with the fast kernel intact.
+    Otherwise a sharded kernel uses the XLA lowering, which GSPMD
+    partitions the same way (pallas_call is a custom call GSPMD cannot
+    split, hence the explicit shard_map wrapper)."""
 
     uvals: jax.Array  # (ntiles_r, BU, TM, 128) forward values
     ubidx: jax.Array  # (ntiles_r, BU) int32 column-block ids
@@ -60,12 +62,42 @@ class TileKernel:
     nrows: int
     ncols: int
     sharded: bool = False
+    mesh: "jax.sharding.Mesh | None" = None
+
+    def _shard_map_pallas(self, uvals, ubidx, x, interpret=False):
+        """Per-device tile_matvec under shard_map: each device contracts
+        its tile slice against the replicated vector; out_specs
+        concatenates the tile-local outputs. Requires the tile axis to
+        divide the mesh (pad_tiles_for_mesh guarantees it)."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+
+            # pallas_call outputs carry no varying-mesh-axes metadata.
+            kw = {"check_vma": False}
+        except ImportError:  # older JAX: experimental API
+            from jax.experimental.shard_map import shard_map
+
+            kw = {"check_rep": False}
+
+        ax = self.mesh.axis_names[0]
+        return shard_map(
+            lambda uv, ub, xx: tile_matvec(uv, ub, xx, interpret=interpret),
+            mesh=self.mesh,
+            in_specs=(P(ax), P(ax), P()),
+            out_specs=P(ax),
+            **kw,
+        )(uvals, ubidx, x)
 
     def _contract(self, uvals, ubidx, x, n_in, n_out):
         npad = (-n_in) % BLOCK
         if npad:
             x = jnp.pad(x, (0, npad))
-        if _use_pallas() and x.dtype == jnp.float32 and not self.sharded:
+        use_pallas = _use_pallas() and x.dtype == jnp.float32
+        if use_pallas and self.mesh is not None:
+            y = self._shard_map_pallas(uvals, ubidx, x)
+        elif use_pallas and not self.sharded:
             y = tile_matvec(uvals, ubidx, x)
         else:
             # Contract in the solver dtype (f64 CPU tests accumulate in
@@ -93,11 +125,15 @@ class TileKernel:
 
 
 def _tk_flatten(k: TileKernel):
-    return (k.uvals, k.ubidx, k.uvalsT, k.ubidxT), (k.nrows, k.ncols, k.sharded)
+    return (k.uvals, k.ubidx, k.uvalsT, k.ubidxT), (
+        k.nrows, k.ncols, k.sharded, k.mesh,
+    )
 
 
 def _tk_unflatten(aux, children):
-    return TileKernel(*children, nrows=aux[0], ncols=aux[1], sharded=aux[2])
+    return TileKernel(
+        *children, nrows=aux[0], ncols=aux[1], sharded=aux[2], mesh=aux[3],
+    )
 
 
 jax.tree_util.register_pytree_node(TileKernel, _tk_flatten, _tk_unflatten)
@@ -289,6 +325,7 @@ def pad_tiles_for_mesh(tk: TileKernel, n: int) -> TileKernel:
         nrows=tk.nrows,
         ncols=tk.ncols,
         sharded=tk.sharded,
+        mesh=tk.mesh,
     )
 
 
@@ -315,4 +352,6 @@ def apply_row_weights_tiled(tk: TileKernel, wrow: np.ndarray) -> TileKernel:
         ubidxT=tk.ubidxT,
         nrows=tk.nrows,
         ncols=tk.ncols,
+        sharded=tk.sharded,
+        mesh=tk.mesh,
     )

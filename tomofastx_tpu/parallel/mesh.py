@@ -115,6 +115,10 @@ def shard_kernel(k, mesh: Mesh):
             nrows=k.nrows,
             ncols=k.ncols,
             sharded=True,
+            # On TPU the contraction runs the Pallas kernel per device
+            # under shard_map over this tile axis (TileKernel._contract);
+            # elsewhere the XLA lowering is GSPMD-partitioned the same way.
+            mesh=mesh,
         )
 
     if isinstance(k, MatrixFreeKernel):
