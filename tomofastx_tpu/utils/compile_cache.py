@@ -14,12 +14,26 @@ from __future__ import annotations
 import os
 
 
+def _default_dir() -> str:
+    """Prefer a cache INSIDE the repo: the environment (and with it
+    ~/.cache) is rebuilt between sessions, but the repo persists — a
+    home-dir cache silently costs every new session the full 2-5 min
+    LSQR/build compiles again. Falls back to ~/.cache when the package
+    is not run from a writable checkout (e.g. site-packages install)."""
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if os.path.isdir(os.path.join(repo, ".git")) and os.access(repo, os.W_OK):
+        return os.path.join(repo, ".jax_comp_cache")
+    return os.path.expanduser("~/.cache/jax_comp_cache")
+
+
 def enable(cache_dir: str | None = None) -> str:
     """Enable the persistent compilation cache (idempotent)."""
     import jax
 
     if cache_dir is None:
-        cache_dir = os.path.expanduser("~/.cache/jax_comp_cache")
+        cache_dir = _default_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
