@@ -280,7 +280,8 @@ def solve_problem_joint_gravmag(
                 ipar.problem_weight[i], ctx.data.weight, solve_dtype,
                 pad_cells_to=(mesh.devices.size if mesh is not None else 1),
             )
-            log(f"  {PROBLEM_PREFIX[i]} kernel: matrix-free (no storage)")
+            log(f"  {PROBLEM_PREFIX[i]} kernel: matrix-free "
+                f"({type(ctx.operator).__name__}, no row storage)")
             continue
 
         fmt = getattr(par, "kernel_format", "dense")
@@ -490,6 +491,7 @@ def solve_problem_joint_gravmag(
     if refine_fwd:
         import dataclasses as _dc
 
+        from tomofastx_tpu.ops.bttb import BTTBKernel
         from tomofastx_tpu.ops.matrixfree import (
             LatticeMatrixFreeKernel,
             MatrixFreeKernel,
@@ -500,7 +502,8 @@ def solve_problem_joint_gravmag(
             i for i in active
             if ctxs[i].kernel is None
             and isinstance(
-                ctxs[i].operator, (MatrixFreeKernel, LatticeMatrixFreeKernel)
+                ctxs[i].operator,
+                (MatrixFreeKernel, LatticeMatrixFreeKernel, BTTBKernel),
             )
         ]
         if len(mf_already) == len(active):

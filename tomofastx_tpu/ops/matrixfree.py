@@ -416,13 +416,17 @@ jax.tree_util.register_pytree_node(
 def make_matrixfree_kernel(
     par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32,
     chunk=None, pad_cells_to: int = 1, validate: bool = True,
-    force_generic: bool = False,
+    force_generic: bool = False, force_no_fft: bool = False,
 ) -> "MatrixFreeKernel | LatticeMatrixFreeKernel":
     """Build the operator from the problem description (no kernel storage).
 
-    Returns the corner-lattice fast operator (LatticeMatrixFreeKernel,
+    Fastest applicable operator wins: the FFT/BTTB operator (ops/bttb.py,
+    per-layer 2-D FFT convolutions; requires lattice grid with uniform
+    x/y spacing + observations on a commensurate lattice at one height),
+    then the corner-lattice fast operator (LatticeMatrixFreeKernel,
     2.1-3.5x) when the grid is a tensor-product lattice and the physics
     supports it; otherwise the general per-cell MatrixFreeKernel.
+    force_no_fft skips the FFT operator (tests / A-B benchmarking).
 
     pad_cells_to > 1 zero-pads the cell axis to that multiple (dummy far
     prisms with cw = 0) so the operator shards over a device mesh of that
@@ -455,6 +459,19 @@ def make_matrixfree_kernel(
             ndc=par.ndata_components, magv=(0.0, 0.0, 1.0), intensity=0.0,
             handle_inside=False,
         )
+
+    # FFT/BTTB fast path: exact physics (f64-built offset table) at
+    # O(nz P log P) per matvec. No cell padding needed for a mesh — the
+    # operator shards over z-layers (parallel/mesh.py::shard_kernel).
+    if not force_generic and not force_no_fft:
+        from tomofastx_tpu.ops.bttb import detect_bttb, make_bttb_kernel
+
+        geom = detect_bttb(grid, data)
+        if geom is not None:
+            return make_bttb_kernel(
+                phys, geom, grid, column_weight, problem_weight,
+                data_weight, dtype,
+            )
 
     N = grid.nelements_total
     nd = par.ndata

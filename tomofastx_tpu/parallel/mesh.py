@@ -140,6 +140,29 @@ def shard_kernel(k, mesh: Mesh):
             N_true=k.N_true,
         )
 
+    from tomofastx_tpu.ops.bttb import BTTBKernel
+
+    if isinstance(k, BTTBKernel):
+        # The FFT operator's only large array is the frequency-domain
+        # offset table (nz, nmc, ndc, Py, Pxr): shard it over the z-layer
+        # axis — each device convolves its own layers against the
+        # replicated model (the model-axis split of lsqr_solver2.F90:
+        # 228-245, blocks = z-slabs) and GSPMD psums the layer sum in
+        # matvec. When nz does not divide the mesh the table is small
+        # enough that replication is the right layout (it is ~4/nd of the
+        # dense kernel).
+        layered = k.nz % n == 0
+        return BTTBKernel(
+            Tf=put(k.Tf, P(CELLS_AXIS) if layered else P()),
+            cw=put(k.cw, P()),
+            row_w=put(k.row_w, P()),
+            obs_flat=put(k.obs_flat, P()),
+            nx=k.nx, ny=k.ny, nz=k.nz, nmc=k.nmc, ndc=k.ndc,
+            no_x=k.no_x, no_y=k.no_y, mx=k.mx, my=k.my,
+            nrows=k.nrows, Py=k.Py, Px=k.Px,
+            mesh=mesh if layered else None,
+        )
+
     from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
 
     if isinstance(k, LatticeMatrixFreeKernel):
