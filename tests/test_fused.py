@@ -168,3 +168,48 @@ def test_fused_workflow_on_mesh(tmp_path):
     np.testing.assert_allclose(
         res_mesh.models[0].val, res_plain.models[0].val, rtol=1e-5, atol=1e-6
     )
+
+
+def test_fused_workflow_bttb_matches_host(tmp_path):
+    """Mansfield with tpu.kernelFormat = matrixfree engages the FFT/BTTB
+    operator (the fixture's 2x128 survey lies on the cell lattice at one
+    height) and the fused on-device loop reproduces the host loop through
+    it — the operator is a pytree carried into the jitted scan."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops.bttb import detect_bttb
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.inversion.ninversions = 4
+    # Compression off (matrix-free requires it): the Parfile key sets the
+    # per-problem AND inversion fields together; mirror that here.
+    cfg.grav.compression_type = 0
+    cfg.inversion.compression_type = 0
+    cfg.grav.kernel_format = "matrixfree"
+
+    # The fixture must actually qualify for the FFT operator.
+    import os
+
+    grid = model_io.read_model_grid(
+        os.path.join(REF, cfg.grav.model_grid_file),
+        cfg.grav.nx, cfg.grav.ny, cfg.grav.nz, cfg.grav.z_axis_dir,
+    )
+    data = data_io.read_data_points(
+        os.path.join(REF, cfg.grav.data_grid_file), cfg.grav.ndata,
+        cfg.grav.ndata_components, cfg.grav.data_units_mult,
+        cfg.grav.z_axis_dir, grid_only=True,
+    )
+    assert detect_bttb(grid, data) is not None
+
+    cfg.path_output = str(tmp_path) + "/host/"
+    res_host = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+    cfg.path_output = str(tmp_path) + "/fused/"
+    res_fused = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, fused_chunk=4
+    )
+    np.testing.assert_allclose(
+        res_fused.models[0].val, res_host.models[0].val, rtol=1e-6, atol=1e-7
+    )
+    assert abs(res_fused.cost_data[0] - res_host.cost_data[0]) < 1e-8

@@ -549,6 +549,20 @@ def solve_problem_joint_gravmag(
 
     # ---- build the jitted solver ----
     g0 = ctxs[active[0]].model.grid
+    for i in active:
+        # The parfile parser keeps these in lockstep (one key sets both,
+        # parfile.py); programmatic configs can drift them apart, which
+        # silently mismatches the kernel's column domain against the
+        # solver's wavelet conversions — fail fast instead (the
+        # reference's metadata consistency-check philosophy,
+        # sensitivity_gravmag.F90:1016-1030).
+        if ctxs[i].par.compression_type != ipar.compression_type:
+            raise ValueError(
+                f"compression_type mismatch: problem {PROBLEM_PREFIX[i]} has "
+                f"{ctxs[i].par.compression_type} but inversion params have "
+                f"{ipar.compression_type}; set both (the Parfile key "
+                "forward.matrixCompression.type sets them together)."
+            )
     wavelet_domain = decide_wavelet_domain(ipar) if ipar.compression_type > 0 else False
     spec = SystemSpec(
         active=tuple(active),

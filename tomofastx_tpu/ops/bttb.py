@@ -300,9 +300,9 @@ def _bttb_unflatten(aux, children):
 jax.tree_util.register_pytree_node(BTTBKernel, _bttb_flatten, _bttb_unflatten)
 
 
-def build_offset_table(phys, geom: BTTBGeometry, nx: int, ny: int, nz: int,
-                       table_dtype=jnp.float64) -> jax.Array:
-    """The per-layer offset table T, shape (nz, nmc, ndc, Ly, Lx).
+def build_offset_table(phys, geom: BTTBGeometry, nx: int, ny: int,
+                       nz: int) -> np.ndarray:
+    """The per-layer offset table T, host f64, shape (nz, nmc, ndc, Ly, Lx).
 
     T[l, k, d, oy, ox] is the exact (f64) prism response of a cell in
     layer l whose center sits at horizontal displacement
@@ -310,24 +310,18 @@ def build_offset_table(phys, geom: BTTBGeometry, nx: int, ny: int, nz: int,
     point, evaluated through the SAME physics dispatch as the dense and
     matrix-free builders (ops/sensitivity.py::forward_rows) so the paths
     cannot diverge. Total cost ~ Ly*Lx*nz ~ 4*N closed-form evaluations —
-    the work of ~4 dense-kernel rows."""
+    the work of ~4 dense-kernel rows.
+
+    The evaluation runs on the HOST CPU backend under a local
+    jax.enable_x64(): native f64 (the accuracy contract holds even when
+    the caller runs with x64 off), and no device compile — a single f64
+    prism program costs minutes of XLA compile on the TPU (emulated
+    doubles, BASELINE.md) for what is a one-second CPU job."""
     from tomofastx_tpu.ops.sensitivity import forward_rows
 
     Lx = (geom.no_x - 1) * geom.mx + nx
     Ly = (geom.no_y - 1) * geom.my + ny
 
-    # Virtual one-column grid: one cell per layer at [0,hx] x [0,hy] with
-    # the real layer z-extents.
-    z1 = np.minimum(geom.ze[:-1], geom.ze[1:])
-    z2 = np.maximum(geom.ze[:-1], geom.ze[1:])
-    grid6 = (
-        jnp.zeros(nz, jnp.float64),
-        jnp.full((nz,), geom.hx, jnp.float64),
-        jnp.zeros(nz, jnp.float64),
-        jnp.full((nz,), geom.hy, jnp.float64),
-        jnp.asarray(z1, jnp.float64),
-        jnp.asarray(z2, jnp.float64),
-    )
     # Virtual observation points realizing every lattice displacement
     # relative to the virtual cell center (hx/2, hy/2).
     vx = 0.5 * geom.hx + geom.dx0 + (np.arange(Lx) - (nx - 1)) * geom.hx
@@ -337,24 +331,41 @@ def build_offset_table(phys, geom: BTTBGeometry, nx: int, ny: int, nz: int,
     pts_y = VY.reshape(-1)
     npts = pts_x.size
 
-    @jax.jit
-    def eval_chunk(xs, ys):
-        return jax.vmap(
-            lambda x, y: forward_rows(
-                phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
-                phys.intensity, False, grid6, x, y,
-                jnp.asarray(geom.zd, jnp.float64),
-            )
-        )(xs, ys)  # (B, nz, nmc, ndc)
+    # Virtual one-column grid: one cell per layer at [0,hx] x [0,hy] with
+    # the real layer z-extents.
+    z1 = np.minimum(geom.ze[:-1], geom.ze[1:])
+    z2 = np.maximum(geom.ze[:-1], geom.ze[1:])
 
-    chunk = max(64, min(npts, (1 << 22) // max(nz * phys.nmc * phys.ndc, 1)))
-    parts = []
-    for s in range(0, npts, chunk):
-        e = min(npts, s + chunk)
-        parts.append(np.asarray(eval_chunk(
-            jnp.asarray(pts_x[s:e], jnp.float64),
-            jnp.asarray(pts_y[s:e], jnp.float64),
-        )))
+    with jax.enable_x64(), jax.default_device(jax.devices("cpu")[0]):
+        grid6 = (
+            jnp.zeros(nz, jnp.float64),
+            jnp.full((nz,), geom.hx, jnp.float64),
+            jnp.zeros(nz, jnp.float64),
+            jnp.full((nz,), geom.hy, jnp.float64),
+            jnp.asarray(z1, jnp.float64),
+            jnp.asarray(z2, jnp.float64),
+        )
+
+        @jax.jit
+        def eval_chunk(xs, ys):
+            return jax.vmap(
+                lambda x, y: forward_rows(
+                    phys.problem, phys.data_type, phys.nmc, phys.ndc,
+                    phys.magv, phys.intensity, False, grid6, x, y,
+                    jnp.asarray(geom.zd, jnp.float64),
+                )
+            )(xs, ys)  # (B, nz, nmc, ndc)
+
+        chunk = max(
+            64, min(npts, (1 << 22) // max(nz * phys.nmc * phys.ndc, 1))
+        )
+        parts = []
+        for s in range(0, npts, chunk):
+            e = min(npts, s + chunk)
+            parts.append(np.asarray(eval_chunk(
+                jnp.asarray(pts_x[s:e], jnp.float64),
+                jnp.asarray(pts_y[s:e], jnp.float64),
+            )))
     T = np.concatenate(parts, axis=0).reshape(Ly, Lx, nz, phys.nmc, phys.ndc)
     if not np.all(np.isfinite(T)):
         raise ValueError(
@@ -363,33 +374,33 @@ def build_offset_table(phys, geom: BTTBGeometry, nx: int, ny: int, nz: int,
             "reference aborts here, gravity_field.f90:99-107)"
         )
     # (nz, nmc, ndc, Ly, Lx)
-    return jnp.asarray(
-        np.ascontiguousarray(T.transpose(2, 3, 4, 0, 1)),
-        table_dtype,
-    )
+    return np.ascontiguousarray(T.transpose(2, 3, 4, 0, 1))
 
 
 def make_bttb_kernel(
     phys, geom: BTTBGeometry, grid, column_weight, problem_weight,
     data_weight, dtype=jnp.float32,
 ) -> BTTBKernel:
-    """Assemble the FFT operator: exact-f64 offset table -> storage dtype
-    -> zero-pad to 5-smooth FFT sizes -> rfft2 (on device; the table never
-    round-trips through the host)."""
+    """Assemble the FFT operator: exact-f64 offset table (host CPU) ->
+    storage dtype + zero-pad to 5-smooth FFT sizes on the host -> one 3-D
+    host-to-device transfer -> rfft2 on device. (The axon tunnel cannot
+    transfer complex arrays, so the spectrum is always formed on device.)"""
     nx, ny, nz = grid.nx, grid.ny, grid.nz
     nd = geom.obs_flat.shape[0]
-    T = build_offset_table(phys, geom, nx, ny, nz, table_dtype=dtype)
+    T = build_offset_table(phys, geom, nx, ny, nz)
     Lx = T.shape[-1]
     Ly = T.shape[-2]
     Px = _next_fast_len(Lx)
     Py = _next_fast_len(Ly)
+    G = nz * phys.nmc * phys.ndc
+    Tp = np.zeros((G, Py, Px), np.dtype(dtype))
+    Tp[:, :Ly, :Lx] = T.reshape(G, Ly, Lx)
 
     @jax.jit
-    def fft_table(T):
-        Tp = jnp.zeros(T.shape[:-2] + (Py, Px), T.dtype).at[..., :Ly, :Lx].set(T)
-        return jnp.fft.rfft2(Tp)
+    def fft_table(Tp):
+        return jnp.fft.rfft2(Tp).reshape(nz, phys.nmc, phys.ndc, Py, -1)
 
-    Tf = fft_table(T)
+    Tf = fft_table(jnp.asarray(Tp))
 
     row_w = problem_weight * np.asarray(data_weight).reshape(nd, phys.ndc)
     return BTTBKernel(
