@@ -110,9 +110,15 @@ def main():
         except Exception as e:  # never lose the primary metric
             _log(f"[bench] mansfield fused bench failed: {e}")
         try:
-            detail["matrixfree"] = _bench_matrixfree()
+            detail["matrixfree"] = _bench_matrixfree(force_no_fft=True)
         except Exception as e:
             _log(f"[bench] matrixfree bench failed: {e}")
+        try:
+            # Same problem through the FFT/BTTB operator (the survey lies
+            # on the cell lattice, so production auto-selects this path).
+            detail["bttb"] = _bench_matrixfree(force_no_fft=False)
+        except Exception as e:
+            _log(f"[bench] bttb bench failed: {e}")
 
     baseline_gflops = 8.0  # ESTIMATED 48-core MPI reference (see BASELINE.md)
     print(
@@ -161,11 +167,13 @@ def _bench_mansfield_fused():
     return out
 
 
-def _bench_matrixfree():
-    """Matrix-free LSQR s/iter at the bench shape (262k cells, 4096 data):
-    the unlimited-scale mode's first recorded TPU number. The operator
-    regenerates every prism row per matvec — VPU transcendental-bound
-    instead of HBM-bound."""
+def _bench_matrixfree(force_no_fft=True):
+    """Matrix-free LSQR s/iter at the bench shape (262k cells, 4096 data).
+
+    force_no_fft=True: the corner-lattice operator (regenerates every
+    prism row per matvec — VPU transcendental-bound). False: the FFT/BTTB
+    operator (per-layer 2-D FFT convolutions of a precomputed exact-f64
+    offset table — the production fast path on gridded surveys)."""
     import jax
     import jax.numpy as jnp
 
@@ -195,12 +203,15 @@ def _bench_matrixfree():
     cw = sens.calculate_depth_weight(par, grid, data, jnp.float32)
     op = make_matrixfree_kernel(
         par, grid, data, cw, 1.0, data.weight, jnp.float32, validate=False,
+        force_no_fft=force_no_fft,
     )
 
     b = jnp.asarray(
         np.random.default_rng(1).normal(size=(nd,)).astype(np.float32)
     )
-    niter = 5
+    # Enough iterations that the ~30 ms tunnel dispatch+fetch overhead
+    # amortizes below the per-iteration cost being measured.
+    niter = 5 if force_no_fft else 400
 
     @jax.jit
     def solve(op, b):

@@ -53,7 +53,10 @@ def make_case(nx, ny, nz, n_side, stride, problem="grav"):
     return par, grid, data
 
 
-def time_lsqr(op, nd, niter=20, label=""):
+def time_lsqr(op, nd, niter=200, label=""):
+    """niter large enough that the ~30 ms tunnel dispatch+fetch overhead
+    amortizes below the per-iteration cost (matters for the ms-scale BTTB
+    iterations; harmless for the slow operators)."""
     b = jnp.asarray(np.random.default_rng(1).normal(size=(nd,)).astype(np.float32))
 
     @jax.jit
@@ -101,7 +104,8 @@ def main():
             lat = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
                                          jnp.float32, validate=False,
                                          force_no_fft=True)
-            time_lsqr(lat, data.ndata, label=f"lattice ({type(lat).__name__})")
+            time_lsqr(lat, data.ndata, niter=10,
+                      label=f"lattice ({type(lat).__name__})")
 
 
 if __name__ == "__main__":
