@@ -130,7 +130,6 @@ def main():
         REPO, "BTTB_GIANT_134M.json" if big else "BTTB_GIANT.json"
     )
     if small:
-        path = os.path.join(REPO, "/tmp/bttb_giant_smoke.json".lstrip("/"))
         path = "/tmp/bttb_giant_smoke.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -143,6 +143,17 @@ def test_detection_positive_cases():
     # observations BELOW the volume (zd > zmax) also qualify
     d = make_data(3, 2, 1, 1, 100.0, 80.0, 50.0, 40.0, 1.0e5)
     assert detect_bttb(g, d) is not None
+    # spectrum-size guard counts the component axes and FFT padding:
+    # the same geometry falls back when the byte cap is exceeded, and a
+    # multi-component table needs nmc*ndc more room.
+    d = make_data(4, 3, 1, 1, 100.0, 80.0, 37.0, -11.0, -3.3)
+    # Lx = 3*1+6 = 9 -> Px = 9, Pxr = 5; Ly = 2+5 = 7 -> Py = 8; nz = 4.
+    bytes_1c = 4 * 1 * 1 * 8 * 5 * 8
+    assert detect_bttb(g, d, max_table_bytes=bytes_1c) is not None
+    assert detect_bttb(g, d, max_table_bytes=bytes_1c - 1) is None
+    assert detect_bttb(g, d, nmc=3, ndc=3, max_table_bytes=bytes_1c) is None
+    assert detect_bttb(g, d, nmc=3, ndc=3,
+                       max_table_bytes=9 * bytes_1c) is not None
 
 
 def test_detection_fallbacks():

@@ -80,7 +80,8 @@ class BTTBGeometry:
     ze: np.ndarray
 
 
-def detect_bttb(grid, data, max_table_elems: int = 1 << 28) -> Optional[BTTBGeometry]:
+def detect_bttb(grid, data, nmc: int = 1, ndc: int = 1,
+                max_table_bytes: int = 4 << 30) -> Optional[BTTBGeometry]:
     """Return the BTTB geometry when (grid, data) qualify, else None.
 
     Conditions (each falls back silently):
@@ -156,10 +157,20 @@ def detect_bttb(grid, data, max_table_elems: int = 1 << 28) -> Optional[BTTBGeom
     if np.unique(obs_flat).size != X.size:
         return None
 
+    # The device-resident spectrum is (nz, nmc, ndc, Py, Px//2+1)
+    # complex64 — account for the component axes AND the 5-smooth FFT
+    # padding (the review caught an elems-only guard undercounting
+    # magnetic vector/3-component tables by up to 9x). Default cap 4 GB:
+    # an absurd stride/extent (or a table that cannot share a 16 GB chip
+    # with the model vectors) falls back to the lattice operator.
     Lx = (ux.size - 1) * mx + grid.nx
     Ly = (uy.size - 1) * my + grid.ny
-    if Ly * Lx * grid.nz > max_table_elems:
-        return None  # absurd stride/extent: the table would dwarf the data
+    spectrum_bytes = (
+        grid.nz * nmc * ndc
+        * _next_fast_len(Ly) * (_next_fast_len(Lx) // 2 + 1) * 8
+    )
+    if spectrum_bytes > max_table_bytes:
+        return None
 
     return BTTBGeometry(
         no_x=ux.size,

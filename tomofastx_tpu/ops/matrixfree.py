@@ -466,7 +466,7 @@ def make_matrixfree_kernel(
     if not force_generic and not force_no_fft:
         from tomofastx_tpu.ops.bttb import detect_bttb, make_bttb_kernel
 
-        geom = detect_bttb(grid, data)
+        geom = detect_bttb(grid, data, nmc=phys.nmc, ndc=phys.ndc)
         if geom is not None:
             return make_bttb_kernel(
                 phys, geom, grid, column_weight, problem_weight,
