@@ -113,9 +113,16 @@ def main():
            "kernel_storage_gb": 0.0,
            "fixtures_io_s": round(fixtures_s, 1)}
 
+    # BG_FUSED=1 runs the major loop on-device (lax.scan over majors):
+    # the host-side per-major overhead (134 MB delta pulls over the
+    # 0.13 GB/s tunnel + dispatch) disappears — only the final state and
+    # cost rows return.
+    fused = majors if os.environ.get("BG_FUSED", "0") == "1" else 0
+    out["fused"] = bool(fused)
     t0 = time.time()
     res = solve_problem_joint_gravmag(
         cfg, base_dir=work, verbose=True, solve_dtype=jnp.float32,
+        fused_chunk=fused,
     )
     out["wall_s"] = round(time.time() - t0, 1)
     out["final_cost"] = float(res.cost_data[0])
