@@ -627,7 +627,17 @@ def solve_problem_joint_gravmag(
         "dX": jnp.asarray(g0.dX(), solve_dtype),
         "dY": jnp.asarray(g0.dY(), solve_dtype),
         "dZ": jnp.asarray(g0.dZ(), solve_dtype),
-        "damping_weight": tuple(jnp.asarray(ctxs[i].model.damping_weight, solve_dtype) for i in active),
+        # Arrays for DISABLED features shrink to unit placeholders: the
+        # solve only reads them under the corresponding static spec flag
+        # (joint.py), and at 10^7-10^8 cells each full-size ones/zeros
+        # placeholder wastes 0.5-1.6 GB of HBM (found by the 134M-cell
+        # BTTB run sizing).
+        "damping_weight": tuple(
+            jnp.asarray(ctxs[i].model.damping_weight, solve_dtype)
+            if spec.apply_local_damping_weight
+            else jnp.ones((1,), solve_dtype)
+            for i in active
+        ),
         "damping_grad_weight": tuple(
             jnp.asarray(
                 ctxs[i].model.damping_grad_weight
@@ -635,18 +645,20 @@ def solve_problem_joint_gravmag(
                 else np.ones((3, spec.N)),
                 solve_dtype,
             )
+            if spec.add_damping_gradient[i]
+            else jnp.ones((3, 1), solve_dtype)
             for i in active
         ),
         "min_bound": tuple(
             jnp.asarray(ctxs[i].model.min_bound, solve_dtype)
-            if ctxs[i].model.min_bound is not None
-            else jnp.zeros((1, spec.N), solve_dtype)
+            if spec.admm_enabled[i] and ctxs[i].model.min_bound is not None
+            else jnp.zeros((1, spec.N if spec.admm_enabled[i] else 1), solve_dtype)
             for i in active
         ),
         "max_bound": tuple(
             jnp.asarray(ctxs[i].model.max_bound, solve_dtype)
-            if ctxs[i].model.max_bound is not None
-            else jnp.zeros((1, spec.N), solve_dtype)
+            if spec.admm_enabled[i] and ctxs[i].model.max_bound is not None
+            else jnp.zeros((1, spec.N if spec.admm_enabled[i] else 1), solve_dtype)
             for i in active
         ),
         "bound_weight": tuple(
@@ -656,6 +668,8 @@ def solve_problem_joint_gravmag(
                 else np.ones(spec.N),
                 solve_dtype,
             )
+            if spec.admm_enabled[i]
+            else jnp.ones((1,), solve_dtype)
             for i in active
         ),
         # Observed data + weights (used by the fused on-device major loop).
@@ -679,8 +693,8 @@ def solve_problem_joint_gravmag(
         static_arrays.update(
             mixture_mu=jnp.zeros((2, 1), solve_dtype),
             mixture_sigma=jnp.ones((3, 1), solve_dtype),
-            cell_weight=jnp.zeros((spec.N, 1), solve_dtype),
-            mixture_max=jnp.ones((spec.N,), solve_dtype),
+            cell_weight=jnp.zeros((1, 1), solve_dtype),
+            mixture_max=jnp.ones((1,), solve_dtype),
         )
 
     # ---- prior-models loop (problem_joint_gravmag.F90:374-598) ----
@@ -692,8 +706,14 @@ def solve_problem_joint_gravmag(
     # ADMM dual state persists across the prior-models loop (the reference
     # allocates z/u once in initialize2 and never resets them,
     # joint_inverse_problem.F90:320, 352-355).
-    admm_z = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
-    admm_u = [jnp.zeros((spec.N,), solve_dtype) for _ in active]
+    admm_z = [
+        jnp.zeros((spec.N if spec.admm_enabled[i] else 1,), solve_dtype)
+        for i in active
+    ]
+    admm_u = [
+        jnp.zeros((spec.N if spec.admm_enabled[i] else 1,), solve_dtype)
+        for i in active
+    ]
 
     for m in range(1, number_prior_models + 1):
         if m > 1:
