@@ -307,3 +307,29 @@ def test_bttb_sharded_parity_and_layer_sharding():
         rv1 = np.asarray(jax.jit(lambda o, u: o.rmatvec(u))(ops, u))
     assert np.allclose(mv0, mv1, rtol=1e-12, atol=0)
     assert np.allclose(rv0, rv1, rtol=1e-12, atol=0)
+
+
+def test_layer_blocked_parity():
+    """layer_block (capacity mode: lax.map over z-layer blocks) is
+    bit-identical to the unblocked matvec/rmatvec — same FFTs, same
+    summation tree per block row."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    nx, ny, nz = 6, 5, 8
+    g = make_grid(nx, ny, nz)
+    d = make_data(4, 3, 1, 1, 100.0, 80.0, 37.0, -11.0, -3.3)
+    par, _ = _problem("grav_gz", nx, ny, nz, d.ndata)
+    cw = 1.0 + rng.random(nx * ny * nz)
+    op = make_matrixfree_kernel(par, g, d, cw, 1.3, d.weight, jnp.float64,
+                                validate=False)
+    assert isinstance(op, BTTBKernel) and op.layer_block is None
+    opb = dataclasses.replace(op, layer_block=2)
+    x = jnp.asarray(rng.normal(size=(op.ncols,)))
+    u = jnp.asarray(rng.normal(size=(d.ndata,)))
+    mv0 = np.asarray(jax.jit(lambda o, x: o.matvec(x))(op, x))
+    mv1 = np.asarray(jax.jit(lambda o, x: o.matvec(x))(opb, x))
+    rv0 = np.asarray(jax.jit(lambda o, u: o.rmatvec(u))(op, u))
+    rv1 = np.asarray(jax.jit(lambda o, u: o.rmatvec(u))(opb, u))
+    assert np.allclose(mv0, mv1, rtol=1e-13, atol=0)
+    assert np.allclose(rv0, rv1, rtol=1e-13, atol=0)

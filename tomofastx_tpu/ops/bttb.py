@@ -205,6 +205,14 @@ class BTTBKernel:
     sharded across the device mesh — each device convolves its own layers
     (the model axis split of lsqr_solver2.F90:228-245) and GSPMD psums the
     data-side sum over layers.
+
+    layer_block: when set (single-chip capacity mode, chosen by
+    make_bttb_kernel from the temp-memory estimate), the per-layer FFTs
+    run in lax.map blocks of this many z-layers: HBM peak drops from
+    O(nz * Py * Px) transform temps to O(layer_block * Py * Px) while the
+    table stays resident — this is what lets a 134M-cell problem
+    (nz = 512 at Py = Px = 1024, whose full-nz transforms alone exceed
+    the 16 GB chip) run at all. Must divide nz.
     """
 
     Tf: jax.Array  # (nz, nmc, ndc, Py, Pxr) complex
@@ -224,6 +232,7 @@ class BTTBKernel:
     Py: int
     Px: int
     mesh: "jax.sharding.Mesh | None" = None
+    layer_block: "int | None" = None
 
     @property
     def N(self) -> int:
@@ -250,13 +259,34 @@ class BTTBKernel:
             a, NamedSharding(self.mesh, P(*spec))
         )
 
+    def _blocks(self):
+        """(nblk, blk) split of the z axis; (1, nz) when unblocked."""
+        blk = self.layer_block if self.mesh is None and self.layer_block else self.nz
+        return self.nz // blk, blk
+
     def matvec(self, x: jax.Array) -> jax.Array:
         xw = (self.cw[None, :] * x.reshape(self.nmc, self.N)).reshape(
             self.nmc, self.nz, self.ny, self.nx
         )
-        Xf = jnp.fft.rfft2(xw, s=(self.Py, self.Px))  # (nmc, nz, Py, Pxr)
-        Xf = self._shard_layers(Xf, 1)
-        Df = jnp.einsum("zkdyx,kzyx->dyx", self.Tf, Xf)
+        nblk, blk = self._blocks()
+        if nblk == 1:
+            Xf = jnp.fft.rfft2(xw, s=(self.Py, self.Px))  # (nmc, nz, Py, Pxr)
+            Xf = self._shard_layers(Xf, 1)
+            Df = jnp.einsum("zkdyx,kzyx->dyx", self.Tf, Xf)
+        else:
+            xb = jnp.moveaxis(
+                xw.reshape(self.nmc, nblk, blk, self.ny, self.nx), 1, 0
+            )  # (nblk, nmc, blk, ny, nx)
+            Tb = self.Tf.reshape(
+                nblk, blk, self.nmc, self.ndc, self.Py, self.Tf.shape[-1]
+            )
+
+            def per_block(args):
+                tf, xw_b = args
+                Xf = jnp.fft.rfft2(xw_b, s=(self.Py, self.Px))
+                return jnp.einsum("zkdyx,kzyx->dyx", tf, Xf)
+
+            Df = jnp.sum(jax.lax.map(per_block, (Tb, xb)), axis=0)
         dg = jnp.fft.irfft2(Df, s=(self.Py, self.Px))  # (ndc, Py, Px)
         dg = dg[
             :,
@@ -284,9 +314,28 @@ class BTTBKernel:
             .set(ug)
         )
         Uf = jnp.fft.rfft2(up)  # (ndc, Py, Pxr)
-        Gf = jnp.einsum("zkdyx,dyx->kzyx", jnp.conj(self.Tf), Uf)
-        Gf = self._shard_layers(Gf, 1)
-        g = jnp.fft.irfft2(Gf, s=(self.Py, self.Px))[:, :, : self.ny, : self.nx]
+        nblk, blk = self._blocks()
+        if nblk == 1:
+            Gf = jnp.einsum("zkdyx,dyx->kzyx", jnp.conj(self.Tf), Uf)
+            Gf = self._shard_layers(Gf, 1)
+            g = jnp.fft.irfft2(Gf, s=(self.Py, self.Px))[
+                :, :, : self.ny, : self.nx
+            ]
+        else:
+            Tb = self.Tf.reshape(
+                nblk, blk, self.nmc, self.ndc, self.Py, self.Tf.shape[-1]
+            )
+
+            def per_block(tf):
+                Gf = jnp.einsum("zkdyx,dyx->kzyx", jnp.conj(tf), Uf)
+                return jnp.fft.irfft2(Gf, s=(self.Py, self.Px))[
+                    :, :, : self.ny, : self.nx
+                ]
+
+            gb = jax.lax.map(per_block, Tb)  # (nblk, nmc, blk, ny, nx)
+            g = jnp.moveaxis(gb, 0, 1).reshape(
+                self.nmc, self.nz, self.ny, self.nx
+            )
         g = g.reshape(self.nmc, self.N) * self.cw[None, :]
         return g.reshape(-1)
 
@@ -294,17 +343,19 @@ class BTTBKernel:
 def _bttb_flatten(k: BTTBKernel):
     children = (k.Tf, k.cw, k.row_w, k.obs_flat)
     aux = (k.nx, k.ny, k.nz, k.nmc, k.ndc, k.no_x, k.no_y, k.mx, k.my,
-           k.nrows, k.Py, k.Px, k.mesh)
+           k.nrows, k.Py, k.Px, k.mesh, k.layer_block)
     return children, aux
 
 
 def _bttb_unflatten(aux, children):
     Tf, cw, row_w, obs_flat = children
-    (nx, ny, nz, nmc, ndc, no_x, no_y, mx, my, nrows, Py, Px, mesh) = aux
+    (nx, ny, nz, nmc, ndc, no_x, no_y, mx, my, nrows, Py, Px, mesh,
+     layer_block) = aux
     return BTTBKernel(
         Tf=Tf, cw=cw, row_w=row_w, obs_flat=obs_flat,
         nx=nx, ny=ny, nz=nz, nmc=nmc, ndc=ndc, no_x=no_x, no_y=no_y,
         mx=mx, my=my, nrows=nrows, Py=Py, Px=Px, mesh=mesh,
+        layer_block=layer_block,
     )
 
 
@@ -413,6 +464,19 @@ def make_bttb_kernel(
 
     Tf = fft_table(jnp.asarray(Tp))
 
+    # Layer blocking: the full-nz transform temps are roughly
+    # nmc * nz * Py * Px * ~20 bytes (padded real input + two complex
+    # spectra); cap them at ~1.5 GB by mapping over the largest divisor
+    # block of nz that fits (134M cells: nz = 512 at 1024^2 planes needs
+    # ~10 GB unblocked — over the 16 GB chip next to the 2.15 GB table).
+    plane = phys.nmc * Py * Px * 20
+    layer_block = None
+    if nz * plane > (3 << 30):
+        blk = max(1, (3 << 29) // plane)
+        while nz % blk:
+            blk -= 1
+        layer_block = blk
+
     row_w = problem_weight * np.asarray(data_weight).reshape(nd, phys.ndc)
     return BTTBKernel(
         Tf=Tf,
@@ -421,5 +485,5 @@ def make_bttb_kernel(
         obs_flat=jnp.asarray(geom.obs_flat),
         nx=nx, ny=ny, nz=nz, nmc=phys.nmc, ndc=phys.ndc,
         no_x=geom.no_x, no_y=geom.no_y, mx=geom.mx, my=geom.my,
-        nrows=nd, Py=Py, Px=Px,
+        nrows=nd, Py=Py, Px=Px, layer_block=layer_block,
     )

@@ -161,6 +161,10 @@ def shard_kernel(k, mesh: Mesh):
             no_x=k.no_x, no_y=k.no_y, mx=k.mx, my=k.my,
             nrows=k.nrows, Py=k.Py, Px=k.Px,
             mesh=mesh if layered else None,
+            # Layer-sharded: each device transforms nz/n layers, so the
+            # single-chip blocking is unnecessary (and _blocks() ignores
+            # it under a mesh); the replicated fallback keeps it.
+            layer_block=k.layer_block,
         )
 
     from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
