@@ -59,30 +59,37 @@ def main():
     work = f"/tmp/bttb_giant_{nx}x{ny}x{nz}"
     os.makedirs(work, exist_ok=True)
     t0 = time.time()
-    i, j, k = write_grid_file_fast(f"{work}/grid.txt", nx, ny, nz, hx, hy, hz)
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    if not os.path.exists(f"{work}/.fixtures_ok"):  # ~10 min at 134M cells
+        write_grid_file_fast(f"{work}/grid.txt", nx, ny, nz, hx, hy, hz)
 
-    val = np.zeros(N)
-    body = (
-        (i >= nx // 4) & (i < nx // 4 + nx // 8)
-        & (j >= ny // 4) & (j < ny // 4 + ny // 8)
-        & (k >= nz // 8) & (k < nz // 8 + nz // 8)
-    )
-    val[body] = 500.0
-    from tomofastx_tpu.io.tableio import save_table
+        val = np.zeros(N)
+        body = (
+            (i >= nx // 4) & (i < nx // 4 + nx // 8)
+            & (j >= ny // 4) & (j < ny // 4 + ny // 8)
+            & (k >= nz // 8) & (k < nz // 8 + nz // 8)
+        )
+        val[body] = 500.0
+        from tomofastx_tpu.io.tableio import save_table
 
-    save_table(f"{work}/true_model.txt", val[:, None], fmt="%.2f",
-               header=f"{N}")
+        save_table(f"{work}/true_model.txt", val[:, None], fmt="%.2f",
+                   header=f"{N}")
 
-    # Survey on the cell lattice (offset h/2, stride*h spacing) at one
-    # height -> detect_bttb engages the FFT operator.
-    xs = 0.5 * hx + np.arange(nside) * stride * hx
-    ys = 0.5 * hy + np.arange(nside) * stride * hy
-    X, Y = np.meshgrid(xs, ys, indexing="ij")
-    save_table(
-        f"{work}/data.txt",
-        np.column_stack([X.ravel(), Y.ravel(), np.full(nd, -0.1), np.zeros(nd)]),
-        fmt="%.2f %.2f %.2f %.1f", header=f"{nd}",
-    )
+        # Survey on the cell lattice (offset h/2, stride*h spacing) at one
+        # height -> detect_bttb engages the FFT operator.
+        xs = 0.5 * hx + np.arange(nside) * stride * hx
+        ys = 0.5 * hy + np.arange(nside) * stride * hy
+        X, Y = np.meshgrid(xs, ys, indexing="ij")
+        save_table(
+            f"{work}/data.txt",
+            np.column_stack(
+                [X.ravel(), Y.ravel(), np.full(nd, -0.1), np.zeros(nd)]
+            ),
+            fmt="%.2f %.2f %.2f %.1f", header=f"{nd}",
+        )
+        open(f"{work}/.fixtures_ok", "w").write("ok\n")
     fixtures_s = time.time() - t0
     print(f"fixtures written in {fixtures_s:.0f}s", flush=True)
 
