@@ -333,3 +333,63 @@ def test_layer_blocked_parity():
     rv1 = np.asarray(jax.jit(lambda o, u: o.rmatvec(u))(opb, u))
     assert np.allclose(mv0, mv1, rtol=1e-13, atol=0)
     assert np.allclose(rv0, rv1, rtol=1e-13, atol=0)
+
+
+def test_auto_kernel_format_capacity_fallback(tmp_path):
+    """tpu.kernelFormat = auto with compression off routes to the
+    matrix-free chain when the dense kernel would not share the chip
+    (1.05M cells x 4,096 data = 17 GB dense > 55% of the 16 GB budget);
+    the gridded survey then picks the BTTB operator and the inversion
+    converges."""
+    from tomofastx_tpu.config.parfile import parse_parfile_lines
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+    from tomofastx_tpu.io.tableio import save_table
+
+    nx, ny, nz = 128, 128, 64
+    h = 100.0
+    N = nx * ny * nz
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    cols = np.column_stack([
+        i * h, (i + 1) * h, j * h, (j + 1) * h, k * h, (k + 1) * h,
+        i + 1, j + 1, k + 1,
+    ])
+    save_table(str(tmp_path / "grid.txt"), cols,
+               fmt="%.1f %.1f %.1f %.1f %.1f %.1f %d %d %d", header=f"{N}")
+    val = np.zeros(N)
+    val[(i // 32 == 1) & (j // 32 == 1) & (k // 16 == 1)] = 500.0
+    save_table(str(tmp_path / "true.txt"), val[:, None], fmt="%.2f",
+               header=f"{N}")
+    nside = 64
+    xs = 0.5 * h + np.arange(nside) * 2 * h
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    nd = nside * nside
+    save_table(
+        str(tmp_path / "data.txt"),
+        np.column_stack([X.ravel(), Y.ravel(), np.full(nd, -0.1),
+                         np.zeros(nd)]),
+        fmt="%.2f %.2f %.2f %.1f", header=f"{nd}",
+    )
+    cfg = parse_parfile_lines([
+        f"global.outputFolderPath = {tmp_path}/out/\n",
+        f"modelGrid.size = {nx} {ny} {nz}\n",
+        f"modelGrid.grav.file = {tmp_path}/grid.txt\n",
+        f"forward.data.grav.nData = {nd}\n",
+        f"forward.data.grav.dataGridFile = {tmp_path}/data.txt\n",
+        "forward.data.grav.useSyntheticModelForDataValues = 1\n",
+        f"forward.data.grav.syntheticModelFile = {tmp_path}/true.txt\n",
+        "forward.depthWeighting.type = 1\n",
+        "forward.depthWeighting.grav.Z0 = 0.1\n",
+        "inversion.nMajorIterations = 1\n",
+        "inversion.nMinorIterations = 3\n",
+        "inversion.modelDamping.grav.weight = 1e-11\n",
+        "tpu.kernelFormat = auto\n",
+    ])
+    res = solve_problem_joint_gravmag(
+        cfg, base_dir=str(tmp_path), verbose=False,
+        solve_dtype=jnp.float32,
+    )
+    # auto -> matrix-free -> BTTB: converged below the starting cost 1.0
+    # (a dense 17 GB kernel build here would fail/thrash long before).
+    assert res.cost_data[0] < 0.5

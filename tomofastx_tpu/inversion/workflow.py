@@ -269,7 +269,33 @@ def solve_problem_joint_gravmag(
             if par.sensit_read == 2:
                 pass  # weight read; kernel recomputed below
 
-        if getattr(par, "kernel_format", "dense") == "matrixfree":
+        fmt0 = getattr(par, "kernel_format", "dense")
+        if fmt0 == "auto" and par.compression_type == 0:
+            # Capacity-aware auto (uncompressed): a dense kernel that
+            # cannot share the chip with the solver working set falls
+            # back to the matrix-free operator chain (BTTB on gridded
+            # surveys, corner-lattice/generic otherwise) instead of
+            # RESOURCE_EXHAUSTing. The reference has no equivalent — its
+            # only answer to kernel memory is more MPI ranks.
+            dense_bytes = (
+                par.ndata * par.ndata_components * par.nmodel_components
+                * ctx.model.grid.nelements_total * 4
+            )
+            try:
+                import jax as _jax
+
+                hbm = _jax.devices()[0].memory_stats().get(
+                    "bytes_limit", 16 << 30
+                )
+            except Exception:
+                hbm = 16 << 30
+            if dense_bytes > 0.55 * hbm:
+                log(f"  {PROBLEM_PREFIX[i]} kernel format auto: dense would "
+                    f"be {dense_bytes / 1e9:.1f} GB (> 55% of "
+                    f"{hbm / 1e9:.0f} GB HBM) -> matrix-free")
+                fmt0 = "matrixfree"
+
+        if fmt0 == "matrixfree":
             # No stored kernel: the operator regenerates rows per matvec
             # (see ops/matrixfree.py).
             from tomofastx_tpu.ops.matrixfree import make_matrixfree_kernel
@@ -284,7 +310,7 @@ def solve_problem_joint_gravmag(
                 f"({type(ctx.operator).__name__}, no row storage)")
             continue
 
-        fmt = getattr(par, "kernel_format", "dense")
+        fmt = fmt0
         if fmt == "auto":
             fmt = "packed" if par.compression_type > 0 else "dense"
         if fmt in ("packed", "tiled") and par.compression_type > 0:
