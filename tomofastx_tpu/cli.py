@@ -147,7 +147,7 @@ def main(argv=None):
             solve_problem_joint_gravmag(
                 cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
                 verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
-                fused_chunk=args.fused,
+                fused_chunk=args.fused, resume=args.resume,
             )
     except (FileNotFoundError, ValueError, FloatingPointError) as e:
         # Clean fail-fast diagnostics, like the reference's exit_MPI banner

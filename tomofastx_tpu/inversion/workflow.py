@@ -946,7 +946,6 @@ def solve_problem_joint_gravmag(
             if ipar.write_model_niter > 0 and it % ipar.write_model_niter == 0:
                 for i, ctx in ctxs.items():
                     _model_write(ctx, cfg, out_dir, f"{PROBLEM_PREFIX[i]}_inter_{it}_")
-                save_checkpoint(ckpt_path, active, ctxs, admm_z, admm_u, rho_admm, m, it)
 
             # costs.txt row for the previous iteration
             # (problem_joint_gravmag.F90:519-528).
@@ -978,6 +977,14 @@ def solve_problem_joint_gravmag(
                     ):
                         rho_admm[i] = ipar.weight_multiplier_ADMM * rho_admm[i]
                         log(f"Increased the ADMM weight to: {rho_admm[i]}")
+
+            # Checkpoint AFTER the rho adjustment: the adjustment belongs to
+            # the completed iteration, so a resumed run must start it+1 with
+            # the adjusted weight (saving before it resumed with a stale rho
+            # whenever weightMultiplier != 1 — caught by
+            # test_cli_resume_matches_uninterrupted).
+            if ipar.write_model_niter > 0 and it % ipar.write_model_niter == 0:
+                save_checkpoint(ckpt_path, active, ctxs, admm_z, admm_u, rho_admm, m, it)
 
         # Final costs row (problem_joint_gravmag.F90:550).
         costs_f.write(
