@@ -389,6 +389,55 @@ def test_sensit_read_2_reuses_depth_weight(tmp_path):
     np.testing.assert_allclose(res2.models[GRAV].val, res1.models[GRAV].val, atol=1e-9)
 
 
+def test_sensit_read_uses_stored_weight_not_parfile(tmp_path):
+    """The reference takes the depth weight from the cache for BOTH read
+    modes: it is computed only when sensit_read = 0
+    (problem_joint_gravmag.F90:171-193) and read_sensitivity_kernel
+    unconditionally re-reads it from file (sensitivity_gravmag.F90:873-879).
+    A weighting config changed between cache write and reload must therefore
+    be IGNORED: read = 1 reuses the stored kernel and weight verbatim;
+    read = 2 recomputes the kernel but still with the stored weight."""
+    tmp = str(tmp_path)
+
+    def make(out, power, mult):
+        cfg, grid_path, data_path = make_base_config(tmp, NX, NY, NZ, ndata=36)
+        cfg.path_output = tmp + f"/{out}/"
+        synth = os.path.join(tmp, "synth.txt")
+        write_values_file(synth, _synthetic_block_model(300.0))
+        cfg.grav.use_synthetic_model = 1
+        cfg.grav.synthetic_model_file = synth
+        cfg.grav.depth_weighting_power = power
+        cfg.inversion.column_weight_multiplier = (mult, cfg.inversion.column_weight_multiplier[1])
+        cfg.inversion.ninversions = 2
+        return cfg
+
+    res0 = solve_problem_joint_gravmag(make("w0", 2.0, 4.0e3), base_dir="/", verbose=False)
+    sensit_dir = tmp + "/w0/SENSIT/"
+
+    # Negative control: the changed weighting config DOES change the result
+    # when actually recomputed (read = 0) — so the reuse assertions below
+    # prove the stored weight was used, not that the config is inert.
+    res_neg = solve_problem_joint_gravmag(make("wneg", 3.5, 1.0), base_dir="/", verbose=False)
+    assert not np.allclose(res_neg.models[GRAV].val, res0.models[GRAV].val, atol=1e-6)
+
+    # read = 1 with a CHANGED weighting config: stored kernel + weight win.
+    cfg1 = make("w1", 3.5, 1.0)
+    cfg1.grav.sensit_read = 1
+    cfg1.magn.sensit_read = 1
+    cfg1.grav.sensit_path = sensit_dir
+    res1 = solve_problem_joint_gravmag(cfg1, base_dir="/", verbose=False)
+    np.testing.assert_allclose(res1.models[GRAV].val, res0.models[GRAV].val, atol=1e-9)
+
+    # read = 2 with a CHANGED weighting config: kernel recomputed, but with
+    # the STORED weight — still identical to the original run.
+    cfg2 = make("w2", 3.5, 1.0)
+    cfg2.grav.sensit_read = 2
+    cfg2.magn.sensit_read = 2
+    cfg2.grav.sensit_path = sensit_dir
+    res2 = solve_problem_joint_gravmag(cfg2, base_dir="/", verbose=False)
+    np.testing.assert_allclose(res2.models[GRAV].val, res0.models[GRAV].val, atol=1e-9)
+
+
 def test_units_multipliers(tmp_path):
     """global.*.dataUnitsMultiplier and modelUnitsMultiplier convert on
     input and divide back on output (Parameters_all.txt:17-23)."""

@@ -219,6 +219,12 @@ def solve_problem_joint_gravmag(
     ipar = cfg.inversion
     out_dir = _mkoutdir(cfg, base_dir)
 
+    # Memory checkpoint 1/4: startup (reference prints Pss at MPI init,
+    # program_tomofastx.F90:60-61).
+    from tomofastx_tpu.utils.memory import report as memory_report
+
+    log(memory_report("(init) "))
+
     if ipar.method != 1:
         raise ValueError(f"Unknown solver type {ipar.method}! (only 1 = LSQR)")
 
@@ -264,10 +270,16 @@ def solve_problem_joint_gravmag(
             cw = sens.apply_local_depth_weighting(par, cw)
             ctx.column_weight = cw
         else:
+            # read = 1 AND read = 2 both take the depth weight from the
+            # cache: the reference computes it only for read = 0
+            # (problem_joint_gravmag.F90:171-193) and read_sensitivity_kernel
+            # unconditionally re-reads it from file at the end
+            # (sensitivity_gravmag.F90:873-879). The stored weight already
+            # contains the column-weight multiplier and local weighting, so
+            # neither is re-applied here. The kernel itself is re-read for
+            # read = 1 and recomputed for read = 2 (F90:195-202) below.
             cache_dir = os.path.join(base_dir, par.sensit_path)
             ctx.column_weight = _read_depth_weight_file(cache_dir, i)
-            if par.sensit_read == 2:
-                pass  # weight read; kernel recomputed below
 
         fmt0 = getattr(par, "kernel_format", "dense")
         if fmt0 == "auto" and par.compression_type == 0:
@@ -341,6 +353,15 @@ def solve_problem_joint_gravmag(
                     log(f"WARNING: no readable sensitivity cache for {PROBLEM_PREFIX[i]}; recomputing.")
             if pk is None:
                 log(f"Calculating {PROBLEM_PREFIX[i].upper()} sensitivity kernel (streamed/{fmt})...")
+                # Predicted allocation print before the big build
+                # (reference: sparse_matrix.f90:508-515). The packed layout
+                # stores ~nnz x (val + idx) twice (row pack + adjoint pack).
+                nrows_tot = par.ndata * par.ndata_components
+                ncols_tot = ctx.model.grid.nelements_total * par.nmodel_components
+                kept = int(np.ceil(par.compression_rate * ncols_tot))
+                pred_gb = 2 * nrows_tot * kept * 8 / 1024**3
+                log(f"  predicted {fmt} kernel size = {pred_gb:.3f} GB "
+                    f"(nnz ~ {nrows_tot * kept:,})")
                 t0 = time.time()
                 build_dtype = jnp.float32 if near_field_f64 > 0 else compute_dtype
                 writer = SensitStreamWriter(
@@ -468,10 +489,8 @@ def solve_problem_joint_gravmag(
         )
         return DenseKernel(ctx.kernel.S, ST)
 
-    # Memory checkpoint after the forward phase (reference prints Pss here,
-    # sensitivity_gravmag.F90:394-398).
-    from tomofastx_tpu.utils.memory import report as memory_report
-
+    # Memory checkpoint 2/4: after the forward phase (reference prints Pss
+    # here, sensitivity_gravmag.F90:394-398).
     log(memory_report("(forward) "))
 
     # ---- ADMM bounds ----
@@ -852,6 +871,10 @@ def solve_problem_joint_gravmag(
                     rho_admm=jnp.asarray(rho_admm, solve_dtype),
                 )
                 out = fused_cache[steps](arrays)
+                if m == 1 and it == it_start:
+                    # Memory checkpoint 3/4: after the first LSQR solve
+                    # (lsqr_solver2.F90:293-299).
+                    log(memory_report("(first solve) "))
 
                 per_costs = {k: np.asarray(v) for k, v in out["per_iteration"]["costs"].items()}
                 pre_cd = np.asarray(out["per_iteration"]["pre_cost_data"])
@@ -932,6 +955,10 @@ def solve_problem_joint_gravmag(
             )
 
             out = solver(arrays)
+            if m == 1 and it == it_start:
+                # Memory checkpoint 3/4: after the first LSQR solve
+                # (lsqr_solver2.F90:293-299).
+                log(memory_report("(first solve) "))
 
             admm_z = list(out["admm_z"])
             admm_u = list(out["admm_u"])
