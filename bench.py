@@ -27,6 +27,11 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Cold-wall budget for the full Mansfield fused run on a fresh process with
+# a warm persistent compile cache (round-2 verdict target: <= ~40 s).
+COLD_WALL_BUDGET_S = 40.0
+
+
 def main():
     import jax
 
@@ -121,18 +126,30 @@ def main():
             _log(f"[bench] bttb bench failed: {e}")
 
     baseline_gflops = 8.0  # ESTIMATED 48-core MPI reference (see BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "sensit_matvec_gflops_per_chip",
-                "value": round(gflops, 2),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(gflops / baseline_gflops, 2),
-                "vs_baseline_estimated": True,
-                "detail": detail,
-            }
-        )
-    )
+    record = {
+        "metric": "sensit_matvec_gflops_per_chip",
+        "value": round(gflops, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / baseline_gflops, 2),
+        "vs_baseline_estimated": True,
+        "detail": detail,
+    }
+    # Cold/warm product walls are FIRST-CLASS fields (round-2 verdict: the
+    # flat GEMV headline hid the product numbers in detail). Cold = full
+    # Mansfield run in a fresh-process-equivalent state with a warm
+    # persistent compile cache; the budget fails loudly on regression
+    # (the reference has zero compile cost — its startup is file I/O,
+    # program_tomofastx.F90:56-95).
+    mf = detail.get("mansfield_fused")
+    if mf:
+        record["mansfield_cold_wall_s"] = mf["cold_wall_s"]
+        record["mansfield_warm_wall_s"] = mf["warm_wall_s"]
+        record["cold_wall_budget_s"] = COLD_WALL_BUDGET_S
+        record["cold_wall_regressed"] = mf["cold_wall_s"] > COLD_WALL_BUDGET_S
+        if record["cold_wall_regressed"]:
+            _log(f"[bench] REGRESSION: mansfield cold wall "
+                 f"{mf['cold_wall_s']:.1f}s > budget {COLD_WALL_BUDGET_S}s")
+    print(json.dumps(record))
 
 
 def _bench_mansfield_fused():

@@ -96,6 +96,50 @@ def test_fused_matches_host_loop():
     )
 
 
+def test_fused_active_steps_masking():
+    """active_steps = k on an n-step program must equal a k-step program
+    exactly: masked trailing steps advance NO state (model, ADMM duals,
+    rho, d_calc) and the per-iteration rows of the first k steps match.
+    This is what lets one compiled program serve every chunk length."""
+    spec, arrays = _system_with_data(jnp.float64)
+    import dataclasses
+
+    # Make rho adjustment live so a leaking masked step would corrupt it.
+    spec = dataclasses.replace(spec, admm_weight_multiplier=10.0, admm_cost_threshold=1e6)
+
+    fused5 = make_fused_solver(spec, 5)
+    fused2 = make_fused_solver(spec, 2)
+
+    arr5 = dict(arrays)
+    arr5["active_steps"] = jnp.asarray(2, jnp.int32)
+    out5 = fused5(arr5)
+    out2 = fused2(arrays)
+
+    for a in range(len(spec.active)):
+        np.testing.assert_array_equal(
+            np.asarray(out5["model"][a]), np.asarray(out2["model"][a])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out5["admm_z"][a]), np.asarray(out2["admm_z"][a])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out5["admm_u"][a]), np.asarray(out2["admm_u"][a])
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out5["rho_admm"]), np.asarray(out2["rho_admm"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out5["final_cost_data"]), np.asarray(out2["final_cost_data"])
+    )
+    for key in ("pre_cost_data", "post_cost_data", "pre_cost_model", "rho"):
+        np.testing.assert_array_equal(
+            np.asarray(out5["per_iteration"][key])[:2],
+            np.asarray(out2["per_iteration"][key]),
+        )
+    # Masked steps ran a 0-iteration LSQR.
+    assert np.all(np.asarray(out5["per_iteration"]["lsqr_iters"])[2:] == 0)
+
+
 def test_fused_admm_weight_growth():
     """The on-device dynamic rho adjustment multiplies rho when the data
     cost is under threshold."""

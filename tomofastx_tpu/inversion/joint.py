@@ -377,9 +377,14 @@ def _build_solve_fn(spec: SystemSpec):
             return jnp.sqrt(jnp.sum((Sx - b0_data) ** 2) / ndata_total)
 
         # ---------------- LSQR ----------------
+        # "niter_cap" is an optional TRACED iteration bound: the fused
+        # major loop passes 0 for masked (inactive) scan steps so one
+        # compiled program serves every chunk length — a capped step costs
+        # ~2 operator applications instead of ~2*niter.
         res = lsqr_solve(
             matvec, rmatvec, b, ncols,
-            niter=spec.niter, rmin=spec.rmin, gamma=spec.gamma,
+            niter=arr.get("niter_cap", spec.niter),
+            rmin=spec.rmin, gamma=spec.gamma,
             target_misfit=spec.target_misfit,
             misfit_fn=misfit_fn if spec.target_misfit > 0.0 else None,
         )
@@ -427,6 +432,13 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
     arrays must additionally contain per active problem:
     - "val_meas": (nd, ndc) observed data
     - "data_weight": (nd, ndc) 1/sigma weights
+    - optionally "active_steps": traced int32 scalar k <= n_steps; steps
+      with index >= k are masked no-ops (carry passes through, LSQR capped
+      to 0 iterations) so ONE compiled program serves every chunk length —
+      remainder chunks stopped recompiling the whole fused loop (the
+      round-2 cold-start multiplier: a 60-major run with
+      writeModelEveryNiter-truncated chunks compiled several distinct
+      programs).
     """
     solve_once = _build_solve_fn(spec)
 
@@ -495,8 +507,11 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
             forward(arr, arr["model"]),
         )
 
-        def step(carry, _):
+        n_active = arr.get("active_steps", jnp.asarray(n_steps, jnp.int32))
+
+        def step(carry, s):
             model, z, u, rho, _extras, d_calc = carry
+            active = s < n_active
             rho_used = rho  # the weight the reference logs for this row
             # Pre-update costs: these become the "previous iteration" entries
             # of the costs.txt row (problem_joint_gravmag.F90:519-528).
@@ -508,7 +523,13 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
                 for a, i in enumerate(spec.active)
             )
             arr2 = dict(arr)
-            arr2.update(model=model, admm_z=z, admm_u=u, rho_admm=rho, residuals=residuals)
+            arr2.update(
+                model=model, admm_z=z, admm_u=u, rho_admm=rho,
+                residuals=residuals,
+                # Masked steps run a 0-iteration LSQR (cheap pass-through).
+                niter_cap=jnp.where(active, spec.niter, 0),
+            )
+            arr2.pop("active_steps", None)
             out = solve_once(arr2)
 
             model_new = tuple(m + d for m, d in zip(model, out["delta"]))
@@ -537,13 +558,20 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
                 "rho": rho_used,
                 "lsqr_iters": out["lsqr_iters"],
             }
-            return (
+            new_carry = (
                 model_new, out["admm_z"], out["admm_u"], rho,
                 out["extras"] or _extras, d_calc_new,
-            ), ys
+            )
+            # Masked steps must not advance ANY state (the 0-iteration LSQR
+            # already leaves the model unchanged, but the ADMM dual update
+            # and rho adjustment run unconditionally above).
+            new_carry = jax.tree.map(
+                lambda nw, old: jnp.where(active, nw, old), new_carry, carry
+            )
+            return new_carry, ys
 
         (model, z, u, rho, extras, final_d), ys = jax.lax.scan(
-            step, init, None, length=n_steps
+            step, init, jnp.arange(n_steps, dtype=jnp.int32)
         )
         return {
             "model": model,

@@ -832,35 +832,37 @@ def solve_problem_joint_gravmag(
         if fused_chunk > 0:
             from tomofastx_tpu.inversion.joint import make_fused_solver
 
-
-
             # Refresh val_meas (set after static_arrays when synthetic).
             static_arrays["val_meas"] = tuple(
                 jnp.asarray(ctxs[i].data.val_meas, solve_dtype) for i in active
             )
-            fused_cache = {}
+            # ONE compiled fused program per run config: the scan length is
+            # fixed at prog_steps and shorter chunks (writeModelEveryNiter
+            # truncation, the ninversions tail, resume) pass active_steps,
+            # masking trailing scan steps into cheap no-ops instead of
+            # recompiling a new program shape (the round-2 cold-start
+            # multiplier).
+            prog_steps = min(fused_chunk, ipar.ninversions)
+            base_fused = make_fused_solver(spec, prog_steps)
+            if mesh is not None:
+                from tomofastx_tpu.parallel.mesh import shard_system_arrays
+
+                def fused_solver(arrays, _f=base_fused):
+                    with mesh:
+                        return _f(shard_system_arrays(arrays, mesh))
+
+            else:
+                fused_solver = base_fused
             it = it_start
             while it <= ipar.ninversions:
                 if os.path.exists("stop") or os.path.exists(os.path.join(out_dir, "stop")):
                     log("Stop file found! Exiting the loop.")
                     break
-                steps = min(fused_chunk, ipar.ninversions - it + 1)
+                steps = min(prog_steps, ipar.ninversions - it + 1)
                 if ipar.write_model_niter > 0:
                     wmn = ipar.write_model_niter
                     next_write = ((it + wmn - 1) // wmn) * wmn
                     steps = min(steps, next_write - it + 1)
-                if steps not in fused_cache:
-                    base_fused = make_fused_solver(spec, steps)
-                    if mesh is not None:
-                        from tomofastx_tpu.parallel.mesh import shard_system_arrays
-
-                        def _sharded(arrays, _f=base_fused):
-                            with mesh:
-                                return _f(shard_system_arrays(arrays, mesh))
-
-                        fused_cache[steps] = _sharded
-                    else:
-                        fused_cache[steps] = base_fused
                 t_it = time.time()
                 arrays = dict(static_arrays)
                 arrays.update(
@@ -869,8 +871,9 @@ def solve_problem_joint_gravmag(
                     admm_z=tuple(admm_z),
                     admm_u=tuple(admm_u),
                     rho_admm=jnp.asarray(rho_admm, solve_dtype),
+                    active_steps=jnp.asarray(steps, jnp.int32),
                 )
-                out = fused_cache[steps](arrays)
+                out = fused_solver(arrays)
                 if m == 1 and it == it_start:
                     # Memory checkpoint 3/4: after the first LSQR solve
                     # (lsqr_solver2.F90:293-299).
