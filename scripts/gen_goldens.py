@@ -40,8 +40,17 @@ FIXTURES = [
     ("parfiles/hamersley/Parfile_hamersley_grav.txt", 2),
     ("parfiles/hamersley/Parfile_hamersley_mag.txt", 2),
     ("parfiles/hamersley/Parfile_hamersley_xgrad_joint.txt", 2),
+    # All 9 noddy variants (the full runnable acceptance set, round-3
+    # verdict item: every runnable parfile pinned).
     ("parfiles/noddy/Parfile_Noddy_grav_ellipsoid_simple.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_grav_ellipsoid_simple_petro.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_grav_ellipsoid_fault.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_grav_ellipsoid_fault_petro.txt", 2),
     ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_simple.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_simple_petro.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault_petro.txt", 2),
+    ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_alter.txt", 2),
 ]
 
 

@@ -279,6 +279,65 @@ def test_lattice_kernel_matches_generic(tmp_path):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
 
 
+@pytest.mark.parametrize(
+    "problem,data_type,nmc,ndc",
+    [
+        ("grav", 1, 1, 1),
+        ("grav", 2, 1, 6),
+        ("magn", 1, 1, 1),
+        ("magn", 1, 3, 3),
+    ],
+)
+def test_lattice_build_matches_percell(tmp_path, problem, data_type, nmc, ndc):
+    """The corner-lattice dense kernel build (tpu.latticeBuild = 1, the
+    default on tensor-product grids) reproduces the per-cell build: same
+    corner expressions, different summation order, so f64-built values
+    agree to summation rounding and nearly all f32-stored entries are
+    bitwise identical."""
+    par, grid, data, cw = _setup(tmp_path, problem, data_type)
+    par.nmodel_components = nmc
+    par.ndata_components = ndc
+    data.ncomponents = ndc
+
+    k_lat = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    par.lattice_build = 0
+    k_pc = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+
+    A = np.asarray(k_lat.S)
+    B = np.asarray(k_pc.S)
+    scale = np.max(np.abs(B), axis=1, keepdims=True)
+    np.testing.assert_allclose(A / scale, B / scale, rtol=0, atol=1e-11)
+
+
+def test_lattice_build_observation_on_lattice_line(tmp_path):
+    """Observations exactly above a lattice node are VALID geometry (they
+    touch no cell face) and must build finite magnetic kernels. Regression
+    for the round-3 convention fix: with obs-minus-corner arguments the
+    Sharma log(R + rz) antiderivative was singular on the ray pointing
+    DOWN through the grid, so such points produced inf (the per-cell
+    sharmbox uses corner-minus-obs, magnetic_field.f90:330-335, whose
+    singular ray points up, away from the model)."""
+    par, grid, data, cw = _setup(tmp_path, "magn")
+    data.X = data.X.copy()
+    data.Y = data.Y.copy()
+    # Place points exactly above interior lattice nodes (cell size 100).
+    data.X[:4] = 200.0
+    data.Y[:4] = 100.0 * np.arange(1, 5)
+    cw = sens.calculate_depth_weight(par, grid, data)
+
+    k_lat = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    assert np.all(np.isfinite(np.asarray(k_lat.S)))
+    par.lattice_build = 0
+    k_pc = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    scale = np.max(np.abs(np.asarray(k_pc.S)), axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(k_lat.S) / scale, np.asarray(k_pc.S) / scale, rtol=0, atol=1e-11
+    )
+    # The lattice OPERATOR handles these points too (same corner fields).
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight, jnp.float64)
+    assert np.all(np.isfinite(np.asarray(op.matvec(jnp.ones((op.ncols,))))))
+
+
 def test_lattice_detection_rejects_irregular(tmp_path):
     """A grid with one shifted cell is NOT a tensor-product lattice; the
     factory must fall back to the general per-cell operator."""

@@ -54,6 +54,71 @@ def test_sharded_solve_matches_replicated():
     )
 
 
+def test_2d_mesh_solve_matches_replicated():
+    """2-D (obs x cells) mesh: dense kernels shard BOTH axes (rows over
+    obs, columns over cells — the reference's data-row forward split AND
+    model-column solve split run simultaneously,
+    sensitivity_gravmag.F90:179-189 + lsqr_solver2.F90:208-245) and the
+    joint solve matches the replicated result."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from tomofastx_tpu.inversion.joint import make_solver
+
+    spec, arrays = ge._tiny_joint_system(jnp.float64)
+    solver = make_solver(spec)
+    out_rep = solver(arrays)
+
+    mesh = make_mesh((2, 4))
+    assert mesh.axis_names == ("obs", "cells")
+    with mesh:
+        sharded = shard_system_arrays(arrays, mesh)
+        # The dense kernel must be genuinely split over both axes.
+        S0 = sharded["S"][0].S
+        shard_shape = S0.addressable_shards[0].data.shape
+        assert shard_shape[0] * 2 == S0.shape[0] or S0.shape[0] % 2 != 0
+        assert shard_shape[1] * 4 == S0.shape[1]
+        out_sh = solver(sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh["delta"][0]), np.asarray(out_rep["delta"][0]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["admm_z"][0]), np.asarray(out_rep["admm_z"][0]),
+        atol=1e-12,
+    )
+
+
+def test_2d_mesh_workflow_matches_unsharded(tmp_path):
+    """Full Hamersley gravity workflow on a (2, 4) obs x cells mesh,
+    fused loop, equals the unmeshed run."""
+    from tomofastx_tpu.config.parfile import read_parfile
+    from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
+
+    REF = "/root/reference"
+    cfg = read_parfile(f"{REF}/parfiles/hamersley/Parfile_hamersley_grav.txt")
+    cfg.inversion.ninversions = 3
+    cfg.path_output = str(tmp_path) + "/plain/"
+    res_plain = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+
+    cfg.path_output = str(tmp_path) + "/mesh2d/"
+    res_mesh = solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False, mesh=make_mesh((2, 4)), fused_chunk=3
+    )
+    # Same criterion as the 1-D Hamersley mesh test: the problem is
+    # massively underdetermined, so reduction-order noise drifts individual
+    # near-null-space cells; parity = model RMS within 1e-4 + matching cost
+    # (the driver's BASELINE.json target).
+    m_ref = res_plain.models[0].val
+    m_sh = res_mesh.models[0].val
+    assert np.linalg.norm(m_sh - m_ref) / np.linalg.norm(m_ref) < 1e-4
+    assert abs(res_mesh.cost_data[0] - res_plain.cost_data[0]) < 1e-6
+
+
 def test_entry_compiles():
     import sys
 

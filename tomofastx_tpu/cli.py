@@ -39,8 +39,10 @@ def main(argv=None):
         "tensorboard or xprof)",
     )
     parser.add_argument(
-        "--mesh", type=int, default=0, metavar="N",
-        help="shard the solve over N devices along the cells axis (0 = no mesh)",
+        "--mesh", default="0", metavar="N|RxC",
+        help="shard the solve over N devices along the cells axis, or over "
+        "a 2-D obs x cells mesh given as RxC (e.g. 2x4: data rows over 2, "
+        "model columns over 4; 0 = no mesh)",
     )
     parser.add_argument(
         "--debug-nans", action="store_true",
@@ -137,10 +139,10 @@ def main(argv=None):
         jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
     )
     mesh = None
-    if args.mesh:
+    if args.mesh and args.mesh != "0":
         from tomofastx_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(args.mesh)
+        mesh = make_mesh(args.mesh if "x" in args.mesh else int(args.mesh))
 
     try:
         with profile_cm:

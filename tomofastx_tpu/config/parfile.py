@@ -102,6 +102,12 @@ class GravParams:
     # tunneled TPU the single full-kernel device->host pull costs
     # ~8 s/GB (BASELINE.md build profile) — skip it for one-shot runs.
     sensit_write: int = 1
+    # Corner-lattice fast kernel build on tensor-product grids (1, default):
+    # evaluate the prism corner antiderivatives once per lattice node per
+    # observation and difference into rows — ~8x fewer transcendentals than
+    # the per-cell 8-corner sums. Values agree with the per-cell build to
+    # summation-order rounding. 0 forces the per-cell build.
+    lattice_build: int = 1
 
     @property
     def nelements_total(self) -> int:
@@ -505,6 +511,8 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         g.sensit_write = m.sensit_write = ival(val)
     elif K == "tpu.refineForward":
         g.refine_forward = m.refine_forward = ival(val)
+    elif K == "tpu.latticeBuild":
+        g.lattice_build = m.lattice_build = ival(val)
     elif K == "tpu.kernelStoreDtype":
         v = sval(val)
         if v not in ("float32", "bfloat16"):

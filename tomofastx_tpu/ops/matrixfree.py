@@ -196,6 +196,81 @@ def detect_lattice(grid):
     return xe, ye, ze
 
 
+def _diff3(F):
+    """D[F](i,j,k) = sum_{K,L,M} (-1)^(K+L+M) F[i+K,j+L,k+M]
+    (per axis out[i] = F[i] - F[i+1]): corners -> cells, keeping the
+    cancellation LOCAL to each cell's own 8 corner values."""
+    g = F
+    for ax in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(0, g.shape[ax] - 1)
+        hi[ax] = slice(1, g.shape[ax])
+        g = g[tuple(lo)] - g[tuple(hi)]
+    return g
+
+
+def lattice_rows_for_point(
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc
+):
+    """Per-cell sensitivity rows for one observation point via the
+    corner-potential lattice: (nz, ny, nx, nmc, ndc). Each lattice corner's
+    antiderivative is evaluated ONCE and shared by up to 8 cells (~8x fewer
+    transcendentals than the per-cell 8-corner sums the reference loops,
+    gravity_field.f90:131-195). Shared by the matrix-free operator and the
+    dense kernel build (ops/sensitivity.py)."""
+    from tomofastx_tpu.ops.prism import (
+        G_GRAV,
+        combine_mag_tensor,
+        ftg_corner_potentials,
+        gz_corner_potential,
+        mag_corner_potentials,
+    )
+
+    cx = (x - xe)[None, None, :]
+    cy = (y - ye)[None, :, None]
+    cz = (z - ze)[:, None, None]
+
+    if problem == "grav" and data_type == 1:
+        rows = -G_GRAV * _diff3(gz_corner_potential(cx, cy, cz))
+        return rows[..., None, None]
+
+    if problem == "grav":  # data_type 2: FTG
+        # The gradiprism kernels flip z internally (ZZ = -(zd - Z)).
+        ps = ftg_corner_potentials(cx, cy, -cz)
+        if ndc == 1:  # Gzz only
+            rows = -G_GRAV * _diff3(ps[2])
+            return rows[..., None, None]
+        rows = jnp.stack([-G_GRAV * _diff3(pc) for pc in ps], axis=-1)
+        return rows[..., None, :]
+
+    # Magnetic corner potentials are evaluated at s = corner - obs (the
+    # sharmbox convention, magnetic_field.f90:330-335), NOT obs - corner:
+    # f3 = log(R + s_z) is singular on the ray {s_x = s_y = 0, s_z < 0},
+    # and with s = corner - obs that ray points UP away from the grid
+    # (s_z > 0 below the observation), whereas the obs - corner convention
+    # put it straight DOWN through the model — any observation exactly
+    # above a lattice node hit log(0) = -inf (caught by the round-3 dense
+    # lattice build; the two conventions are D-equivalent where finite
+    # since they differ by terms constant along one axis, which the
+    # alternating corner difference annihilates).
+    f1, f2, f3, f4, f5 = mag_corner_potentials(-cx, -cy, -cz)
+    # The tensor-to-row combination is LINEAR with scalar coefficients
+    # and the corner difference D is linear, so combine the corner
+    # potentials FIRST and difference once per output channel: TMI +
+    # susceptibility materializes ONE corner field instead of 5
+    # channels + 6 tensor arrays (the memory-bound part of this
+    # operator). Corner-space tensor derived term-by-term from sharmbox's
+    # 8-corner sums (txx = D[f1], txy = -D[f3], tyz = -D[f4],
+    # txz = -D[f5], tzz = -D[f1 + f2]; parity vs the dense sharmbox
+    # kernel in tests::test_matrixfree_equals_dense).
+    Fc = combine_mag_tensor(
+        (f1, -f3, -f5), (-f3, f2, -f4), (-f5, -f4, -(f1 + f2)),
+        magv, intensity, nmc, ndc,
+    )  # (nz+1, ny+1, nx+1, nmc, ndc)
+    return _diff3(Fc)
+
+
 @dataclass
 class LatticeMatrixFreeKernel:
     """Corner-lattice factorization of the matrix-free operator (gravity
@@ -261,64 +336,13 @@ class LatticeMatrixFreeKernel:
     def ncols(self) -> int:
         return self.nmc * self.N
 
-    @staticmethod
-    def _diff3(F):
-        """D[F](i,j,k) = sum_{K,L,M} (-1)^(K+L+M) F[i+K,j+L,k+M]
-        (per axis out[i] = F[i] - F[i+1]): corners -> cells, keeping the
-        cancellation LOCAL to each cell's own 8 corner values."""
-        g = F
-        for ax in range(3):
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[ax] = slice(0, g.shape[ax] - 1)
-            hi[ax] = slice(1, g.shape[ax])
-            g = g[tuple(lo)] - g[tuple(hi)]
-        return g
-
     def _rows_for_point(self, x, y, z):
         """Per-cell sensitivity rows for one observation point via the
         corner-potential lattice: (nz, ny, nx, nmc, ndc)."""
-        from tomofastx_tpu.ops.prism import (
-            G_GRAV,
-            combine_mag_tensor,
-            ftg_corner_potentials,
-            gz_corner_potential,
-            mag_corner_potentials,
-        )
-
-        cx = (x - self.xe)[None, None, :]
-        cy = (y - self.ye)[None, :, None]
-        cz = (z - self.ze)[:, None, None]
-
-        if self.problem == "grav" and self.data_type == 1:
-            rows = -G_GRAV * self._diff3(gz_corner_potential(cx, cy, cz))
-            return rows[..., None, None]
-
-        if self.problem == "grav":  # data_type 2: FTG
-            # The gradiprism kernels flip z internally (ZZ = -(zd - Z)).
-            ps = ftg_corner_potentials(cx, cy, -cz)
-            if self.ndc == 1:  # Gzz only
-                rows = -G_GRAV * self._diff3(ps[2])
-                return rows[..., None, None]
-            rows = jnp.stack(
-                [-G_GRAV * self._diff3(pc) for pc in ps], axis=-1
-            )
-            return rows[..., None, :]
-
-        f1, f2, f3, f4, f5 = mag_corner_potentials(cx, cy, cz)
-        # The tensor-to-row combination is LINEAR with scalar coefficients
-        # and the corner difference D is linear, so combine the corner
-        # potentials FIRST and difference once per output channel: TMI +
-        # susceptibility materializes ONE corner field instead of 5
-        # channels + 6 tensor arrays (the memory-bound part of this
-        # operator). Corner-space tensor with the parity validated against
-        # the dense sharmbox kernel (txx = D[-f1], txy = D[f3], ...,
-        # tzz = D[f1 + f2]; tests::test_matrixfree_equals_dense).
-        Fc = combine_mag_tensor(
-            (-f1, f3, f5), (f3, -f2, f4), (f5, f4, f1 + f2),
+        return lattice_rows_for_point(
+            self.xe, self.ye, self.ze, x, y, z, self.problem, self.data_type,
             self.magv, self.intensity, self.nmc, self.ndc,
-        )  # (nz+1, ny+1, nx+1, nmc, ndc)
-        return self._diff3(Fc)
+        )
 
     def _shard_obs(self, xs, ys, zs, w):
         """Constrain one chunk's observation batch to split over the mesh
@@ -327,7 +351,9 @@ class LatticeMatrixFreeKernel:
             return xs, ys, zs, w
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ax = self.mesh.axis_names[0]
+        # All mesh axes together: on a 2-D (obs x cells) mesh the
+        # observation batch splits across every device, not just one axis.
+        ax = tuple(self.mesh.axis_names)
         s1 = NamedSharding(self.mesh, P(ax))
         s2 = NamedSharding(self.mesh, P(ax, None))
         c = jax.lax.with_sharding_constraint

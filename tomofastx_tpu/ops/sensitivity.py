@@ -432,6 +432,29 @@ def compute_sensitivity(
     else:
         nel_compressed = N
 
+    # Corner-lattice fast build: on a tensor-product grid evaluate the
+    # corner antiderivatives ONCE per lattice node per observation and
+    # difference into per-cell rows (ops/matrixfree.py::
+    # lattice_rows_for_point) — ~8x fewer transcendentals than the
+    # reference's per-cell 8-corner loops (gravity_field.f90:131-195,
+    # magnetic_field.f90:321-457). Same corner expressions, so values agree
+    # to summation-order rounding (pinned by
+    # test_matrixfree.py::test_lattice_build_matches_percell). The
+    # 6-subprism borehole branch is per-cell and cannot share corners;
+    # opt out with tpu.latticeBuild = 0.
+    lattice_edges = None
+    if getattr(par, "lattice_build", 1) and (
+        problem == "grav" or not handle_inside
+    ):
+        from tomofastx_tpu.ops.matrixfree import detect_lattice
+
+        lattice_edges = detect_lattice(grid)
+    lat = (
+        tuple(jnp.asarray(e, compute_dtype) for e in lattice_edges)
+        if lattice_edges is not None
+        else ()
+    )
+
     K = min(near_field_f64, N) if near_field_f64 > 0 else 0
     if K > 0:
         grid_arrays64 = tuple(
@@ -447,12 +470,20 @@ def compute_sensitivity(
     # (~19 MB at 262k cells), which bloats every build_chunk compile and
     # its persistent-cache key (CLAUDE.md gotcha, measured round 2).
     @jax.jit
-    def build_chunk(ga, ga64, cwa, centers, xd, yd, zd):
+    def build_chunk(ga, ga64, cwa, centers, la, xd, yd, zd):
         def one(x, y, z):
-            rows = forward_rows(
-                problem, par.data_type, nmc, ndc, magv, intensity,
-                handle_inside, ga, x, y, z,
-            )
+            if la:
+                from tomofastx_tpu.ops.matrixfree import lattice_rows_for_point
+
+                rows = lattice_rows_for_point(
+                    *la, x, y, z, problem, par.data_type, magv, intensity,
+                    nmc, ndc,
+                ).reshape(N, nmc, ndc)
+            else:
+                rows = forward_rows(
+                    problem, par.data_type, nmc, ndc, magv, intensity,
+                    handle_inside, ga, x, y, z,
+                )
             if K > 0:
                 # f64 patch of the K nearest cells (cancellation zone).
                 xc_, yc_, zc_ = centers
@@ -504,15 +535,17 @@ def compute_sensitivity(
         grid_arrays64 if K > 0 else (),
         cw,
         (xc, yc, zc) if K > 0 else (),
+        lat,
     )
 
     n_mesh = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from tomofastx_tpu.parallel.mesh import CELLS_AXIS
-
-        obs_sharding = NamedSharding(mesh, P(CELLS_AXIS))
+        # The build shards its observation chunks over ALL mesh axes (on a
+        # 1-D cells mesh that is the cells axis doing double duty for the
+        # build's data-row split; on a 2-D mesh it is every device).
+        obs_sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         # Dummy points far outside the volume: finite closed forms, rows
         # discarded after the chunk.
         far = (

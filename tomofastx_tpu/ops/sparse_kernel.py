@@ -170,19 +170,30 @@ class DenseKernel:
     of S are zero padding added so the column (cells) axis divides a device
     mesh and the 128-lane tiling — the reference's arbitrary-N block
     partition (parallel_tools.f90:46-63) re-expressed as pad-to-multiple
-    sharding. matvec pads x; rmatvec slices the gradient back."""
+    sharding. matvec pads x; rmatvec slices the gradient back.
 
-    S: jax.Array  # (nrows, ncols_padded)
-    ST: jax.Array = None  # optional (ncols_padded, nrows) contiguous transpose
+    nrows_true: same for the row (observation) axis under a 2-D
+    (obs x cells) mesh — zero rows pad the data axis to the obs-axis
+    multiple; matvec slices the output back, rmatvec pads u."""
+
+    S: jax.Array  # (nrows_padded, ncols_padded)
+    ST: jax.Array = None  # optional (ncols_padded, nrows_padded) transpose
     ncols_true: int = None  # logical column count; None = no padding
+    nrows_true: int = None  # logical row count; None = no padding
 
     def matvec(self, x):
         npad = self.S.shape[1] - x.shape[0]
         if npad:
             x = jnp.pad(x, (0, npad))
-        return self.S @ x
+        d = self.S @ x
+        if self.nrows_true is not None and d.shape[0] != self.nrows_true:
+            d = d[: self.nrows_true]
+        return d
 
     def rmatvec(self, u):
+        npad = self.S.shape[0] - u.shape[0]
+        if npad:
+            u = jnp.pad(u, (0, npad))
         g = self.ST @ u if self.ST is not None else self.S.T @ u
         if self.ncols_true is not None and g.shape[0] != self.ncols_true:
             g = g[: self.ncols_true]
@@ -190,7 +201,7 @@ class DenseKernel:
 
     @property
     def nrows(self):
-        return self.S.shape[0]
+        return self.nrows_true if self.nrows_true is not None else self.S.shape[0]
 
     @property
     def ncols(self):
@@ -198,11 +209,11 @@ class DenseKernel:
 
 
 def _dk_flatten(dk: DenseKernel):
-    return (dk.S, dk.ST), (dk.ncols_true,)
+    return (dk.S, dk.ST), (dk.ncols_true, dk.nrows_true)
 
 
 def _dk_unflatten(aux, children):
-    return DenseKernel(children[0], children[1], aux[0])
+    return DenseKernel(children[0], children[1], aux[0], aux[1])
 
 
 jax.tree_util.register_pytree_node(DenseKernel, _dk_flatten, _dk_unflatten)
@@ -273,4 +284,18 @@ def pad_dense_columns(dk: DenseKernel, multiple: int) -> DenseKernel:
     pad = ncols_pad - dk.S.shape[1]
     S = jnp.pad(dk.S, ((0, 0), (0, pad)))
     ST = jnp.pad(dk.ST, ((0, pad), (0, 0))) if dk.ST is not None else None
-    return DenseKernel(S, ST, ncols)
+    return DenseKernel(S, ST, ncols, dk.nrows_true)
+
+
+def pad_dense_rows(dk: DenseKernel, multiple: int) -> DenseKernel:
+    """Zero-pad the row (observation) axis to the next multiple, for the
+    obs axis of a 2-D device mesh. Padding rows are zero, so they add
+    nothing to S^T u and their matvec outputs are sliced away."""
+    nrows = dk.nrows
+    nrows_pad = ((nrows + multiple - 1) // multiple) * multiple
+    if nrows_pad == dk.S.shape[0]:
+        return dk
+    pad = nrows_pad - dk.S.shape[0]
+    S = jnp.pad(dk.S, ((0, pad), (0, 0)))
+    ST = jnp.pad(dk.ST, ((0, 0), (0, pad))) if dk.ST is not None else None
+    return DenseKernel(S, ST, dk.ncols_true, nrows)

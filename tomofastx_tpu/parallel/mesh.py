@@ -39,12 +39,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CELLS_AXIS = "cells"
+OBS_AXIS = "obs"
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices=None) -> Mesh:
+    """1-D cells mesh from a device count, or a 2-D (obs x cells) mesh from
+    a (n_obs, n_cells) tuple / "2x4" string.
+
+    The 2-D mesh shards the dense sensitivity kernel over BOTH axes (rows
+    over obs, columns over cells) so per-device kernel HBM scales as
+    1/(n_obs*n_cells) — the reference shards data rows in its forward
+    phase AND model columns in its solve phase
+    (sensitivity_gravmag.F90:179-189, lsqr_solver2.F90:208-245); the 2-D
+    mesh runs both splits simultaneously. Data-space vectors shard over
+    obs, model-space vectors over cells."""
+    if isinstance(n_devices, str):
+        n_devices = tuple(int(t) for t in n_devices.lower().split("x"))
+        if len(n_devices) == 1:
+            n_devices = n_devices[0]
     devices = jax.devices()
+    if isinstance(n_devices, (tuple, list)):
+        no, nc = n_devices
+        return Mesh(
+            np.array(devices[: no * nc]).reshape(no, nc), (OBS_AXIS, CELLS_AXIS)
+        )
     n = n_devices or len(devices)
     return Mesh(np.array(devices[:n]), (CELLS_AXIS,))
+
+
+def obs_axis(mesh: Mesh):
+    """The obs axis name when the mesh has one, else None (1-D cells mesh:
+    data-space arrays replicate)."""
+    return OBS_AXIS if OBS_AXIS in mesh.axis_names else None
 
 
 def shard_kernel(k, mesh: Mesh):
@@ -77,11 +103,19 @@ def shard_kernel(k, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     if isinstance(k, DenseKernel):
-        k = pad_dense_columns(k, n)
+        from tomofastx_tpu.ops.sparse_kernel import pad_dense_rows
+
+        oax = obs_axis(mesh)
+        k = pad_dense_columns(k, int(mesh.shape[CELLS_AXIS]))
+        if oax is not None:
+            # 2-D mesh: rows shard over obs, columns over cells —
+            # per-device kernel HBM = total/(n_obs*n_cells).
+            k = pad_dense_rows(k, int(mesh.shape[OBS_AXIS]))
         return DenseKernel(
-            put(k.S, P(None, CELLS_AXIS)),
-            put(k.ST, P(CELLS_AXIS, None)) if k.ST is not None else None,
+            put(k.S, P(oax, CELLS_AXIS)),
+            put(k.ST, P(CELLS_AXIS, oax)) if k.ST is not None else None,
             k.ncols_true,
+            k.nrows_true,
         )
 
     if isinstance(k, PackedKernel):
@@ -228,12 +262,12 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
     to a mesh multiple when N does not divide (no silent replication). The
     small per-cell vectors are sharded when their cells axis divides the
     mesh and replicated otherwise (deliberate, see module docstring: for
-    vectors replication is the faster layout and costs KB)."""
-    n = mesh.devices.size
+    vectors replication is the faster layout and costs KB). On a 2-D
+    (obs x cells) mesh, data-space vectors additionally shard over obs."""
 
     def put(x, spec):
         for dim, name in enumerate(spec):
-            if name is not None and x.shape[dim] % n != 0:
+            if name is not None and x.shape[dim] % int(mesh.shape[name]) != 0:
                 spec = P()
                 break
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -242,6 +276,7 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
         return tuple(put(x, spec) for x in t)
 
     out = dict(arrays)
+    oax = obs_axis(mesh)
 
     out["S"] = tuple(shard_kernel(k, mesh) for k in arrays["S"])
     if "S_fwd" in arrays:
@@ -250,10 +285,10 @@ def shard_system_arrays(arrays: dict, mesh: Mesh) -> dict:
     out["model"] = put_tuple(arrays["model"], P(None, CELLS_AXIS))
     out["prior"] = put_tuple(arrays["prior"], P(None, CELLS_AXIS))
     if "residuals" in arrays:
-        out["residuals"] = put_tuple(arrays["residuals"], P())
+        out["residuals"] = put_tuple(arrays["residuals"], P(oax))
     for key in ("val_meas", "data_weight"):
         if key in arrays:
-            out[key] = put_tuple(arrays[key], P())
+            out[key] = put_tuple(arrays[key], P(oax, None) if oax else P())
     for key in ("admm_z", "admm_u", "bound_weight", "damping_weight"):
         if key in arrays:
             out[key] = put_tuple(arrays[key], P(CELLS_AXIS))
