@@ -129,3 +129,121 @@ def test_cross_gradient_element_count(der_type):
     assert count == 457904
     np.testing.assert_array_equal(np.asarray(op.cost), 0.0)
     np.testing.assert_array_equal(np.asarray(op.rhs), 0.0)
+
+
+def test_damping_identity_distributed():
+    """tests_inversion.f90::test_add_damping_identity_matrix (50-127): with
+    alpha = problem_weight = column_weight = 1, norm 2, model == prior, the
+    damping block IS the identity — multiplying x = (1, 2, ..., N) on the
+    reference's 10 x 72 x 4 grid returns x exactly. Run both replicated and
+    with x sharded over the 8-device mesh (the reference runs it at
+    np in {1, 3} and Allreduces the distributed product)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tomofastx_tpu.inversion import operators as ops
+    from tomofastx_tpu.parallel.mesh import CELLS_AXIS, make_mesh
+
+    nx, ny, nz = 10, 72, 4
+    N = nx * ny * nz
+    model = jnp.zeros((1, N))
+    cw = jnp.ones(N)
+    op = ops.make_damping(
+        1.0, 1.0, 2.0, model, model, cw, None, False, 0, nx, ny, nz
+    )
+    x = jnp.asarray(np.arange(1.0, N + 1.0))[None, :]
+    np.testing.assert_array_equal(np.asarray(op.matvec(x)).ravel(), np.asarray(x).ravel())
+    np.testing.assert_array_equal(np.asarray(op.rhs), 0.0)
+
+    mesh = make_mesh(8)
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, CELLS_AXIS)))
+        b = jax.jit(lambda xv: op.matvec(xv))(xs)
+    np.testing.assert_array_equal(np.asarray(b).ravel(), np.asarray(x).ravel())
+
+
+def test_column_normalization_semantics():
+    """tests_sparse_matrix.f90::test_normalize_columns (39-113): the
+    reference normalizes matrix columns by their L2 norms, leaving
+    all-zero columns zero (no 0/0). This rebuild realises column scaling
+    through the column-weight machinery (divide-by-weight with a
+    zero-weight guard, model.F90:243-251 semantics); the invariant is the
+    same: scaled columns have unit norm, zero columns stay zero. Uses the
+    reference's exact counter-valued 30 x 10 matrix with 5 zero columns."""
+    ncolumns, nrows = 10, 30
+    A = np.zeros((nrows, ncolumns))
+    counter = 0
+    for j in range(nrows):
+        for i in range(ncolumns):
+            counter += 1
+            if i < ncolumns // 2:
+                A[j, i] = float(counter)
+    column_norm = np.linalg.norm(A, axis=0)
+    # Reference: norm of column i == norm2(A(i, :)).
+    assert np.count_nonzero(column_norm) == 5
+
+    # Column scaling with the zero guard used everywhere in the workflow.
+    scaled = np.where(
+        column_norm[None, :] != 0.0,
+        A / np.where(column_norm[None, :] != 0.0, column_norm[None, :], 1.0),
+        0.0,
+    )
+    got = np.linalg.norm(scaled, axis=0)
+    np.testing.assert_allclose(got[:5], 1.0, rtol=1e-12)
+    np.testing.assert_array_equal(got[5:], 0.0)
+
+
+def test_wavelet_diagonal_matrix_nnz():
+    """tests_wavelet_compression.f90::test_wavelet_diagonal_matrix
+    (137-183): Haar-transforming every row of the 1000 x 1000 identity on
+    a 10^3 grid yields EXACTLY 46,656 nonzeros (the reference's pinned
+    literal). Batched transform == the reference's row loop."""
+    from tomofastx_tpu.ops import wavelet as W
+
+    nx = ny = nz = 10
+    N = nx * ny * nz
+    A = jnp.eye(N, dtype=jnp.float64)
+    Aw = np.asarray(W.forward_wavelet_flat(A, nx, ny, nz, 1))
+    assert int(np.count_nonzero(Aw)) == 46656
+
+
+def test_wavelet_calculate_data_port():
+    """tests_wavelet_compression.f90::test_wavelet_calculate_data (69-135):
+    b = A x equals b2 = W(A) W(x) row-by-row on the 3 x 4 x 5 grid with
+    A(i, j) = (2i - j)/(i + j). Faithfully reproduces the reference's
+    Fortran loop-variable quirk: x is filled with 2*j + 1 where j has run
+    off the previous loop (j = nrows + 1 = 6), so x = 13 everywhere."""
+    from tomofastx_tpu.ops import wavelet as W
+
+    nx, ny, nz = 3, 4, 5
+    N = nx * ny * nz
+    nrows = 5
+    i = np.arange(1, N + 1)[None, :]
+    j = np.arange(1, nrows + 1)[:, None]
+    A = (2.0 * i - j) / (i + j)  # (nrows, N)
+    x = np.full(N, 13.0)
+
+    b = A @ x
+    Aw = np.asarray(W.forward_wavelet_flat(jnp.asarray(A), nx, ny, nz, 1))
+    xw = np.asarray(W.forward_wavelet_flat(jnp.asarray(x), nx, ny, nz, 1))
+    b2 = Aw @ xw
+    np.testing.assert_allclose(b2, b, rtol=1e-12)
+
+
+@pytest.mark.parametrize("wt", [1, 2])
+def test_wavelet_inverse_identity_port(wt):
+    """tests_wavelet_compression.f90::test_wavelet_inverse_kind (262-326):
+    W^-1(W(I)) == I on the 10 x 11 x 12 grid for Haar and D4 — off-diagonal
+    magnitudes below 1e-15 and exactly N surviving entries above 1e-15
+    (the reference's count(A > 1.d-15) assertion)."""
+    from tomofastx_tpu.ops import wavelet as W
+
+    nx, ny, nz = 10, 11, 12
+    N = nx * ny * nz
+    A = jnp.eye(N, dtype=jnp.float64)
+    Aw = W.forward_wavelet_flat(A, nx, ny, nz, wt)
+    Ai = np.asarray(W.inverse_wavelet_flat(Aw, nx, ny, nz, wt))
+    assert int(np.count_nonzero(Ai > 1.0e-15)) == N
+    np.testing.assert_allclose(np.diag(Ai), 1.0, rtol=1e-12)
+    off = Ai - np.diag(np.diag(Ai))
+    assert np.max(np.abs(off)) < 1.0e-15
