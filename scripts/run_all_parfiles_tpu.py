@@ -15,6 +15,11 @@ import os
 import sys
 import time
 
+# Keep the CPU-backend override in run_all_parfiles from firing on import:
+# it reads RUN_PLATFORM (default cpu) at module level. This script runs on
+# the TPU backend the environment already selects.
+os.environ.setdefault("RUN_PLATFORM", os.environ.get("JAX_PLATFORMS", "tpu"))
+
 import jax
 
 from tomofastx_tpu.utils.compile_cache import enable as _enable_cache

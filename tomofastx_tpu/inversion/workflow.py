@@ -492,6 +492,7 @@ def solve_problem_joint_gravmag(
     # Memory checkpoint 2/4: after the forward phase (reference prints Pss
     # here, sensitivity_gravmag.F90:394-398).
     log(memory_report("(forward) "))
+    log(f"  forward phase done at t+{time.time() - t_start:.2f}s")
 
     # ---- ADMM bounds ----
     if ipar.admm_type > 0:
@@ -591,6 +592,8 @@ def solve_problem_joint_gravmag(
         else:
             data_io.read_data_values(ctx.data, os.path.join(base_dir, par.data_grid_file))
         _data_write(ctx, out_dir, f"{PROBLEM_PREFIX[i]}_observed", 1)
+
+    log(f"  data/synthetic phase done at t+{time.time() - t_start:.2f}s")
 
     # ---- build the jitted solver ----
     g0 = ctxs[active[0]].model.grid
@@ -802,6 +805,7 @@ def solve_problem_joint_gravmag(
             cost_model[i] = _calculate_model_cost(ctx, ipar.norm_power)
             cost_data[i] = ctx.data.get_cost()
             log(f"data cost (initial) [{PROBLEM_PREFIX[i]}] = {cost_data[i]}")
+        log(f"  entering the major loop at t+{time.time() - t_start:.2f}s")
 
         it_start = 1
         ckpt_path = os.path.join(out_dir, "checkpoint.npz")
