@@ -54,6 +54,19 @@ def test_sharded_solve_matches_replicated():
     )
 
 
+def test_make_mesh_specs():
+    """make_mesh accepts a count, a (no, nc) tuple, and an 'RxC' string
+    (the CLI's --mesh 2x4 form)."""
+    m1 = make_mesh(8)
+    assert m1.axis_names == ("cells",) and m1.devices.size == 8
+    m2 = make_mesh((2, 4))
+    assert m2.axis_names == ("obs", "cells") and m2.devices.shape == (2, 4)
+    m3 = make_mesh("2x4")
+    assert m3.axis_names == ("obs", "cells") and m3.devices.shape == (2, 4)
+    m4 = make_mesh("8")
+    assert m4.axis_names == ("cells",) and m4.devices.size == 8
+
+
 def test_2d_mesh_solve_matches_replicated():
     """2-D (obs x cells) mesh: dense kernels shard BOTH axes (rows over
     obs, columns over cells — the reference's data-row forward split AND

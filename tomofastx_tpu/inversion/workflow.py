@@ -106,6 +106,24 @@ def _data_write(ctx: ProblemContext, out_dir, name, which):
     )
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("ct", "nx", "ny", "nz", "nmc"))
+def _op_forward_jit(op, x, ct, nx, ny, nz, nmc):
+    """Jitted operator forward (optionally via the wavelet domain): one
+    program instead of per-op eager dispatches — the unjitted 3-D lifting
+    alone cost ~100 tiny compiles on a cold start and as many tunnel
+    round-trips per call on the remote TPU."""
+    if ct:
+        from tomofastx_tpu.ops import wavelet as W
+
+        x = W.forward_wavelet_flat(x.reshape(nmc, -1), nx, ny, nz, ct).reshape(-1)
+    return op.matvec(x)
+
+
 def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
     """d_calc = S m through the stored weighted kernel (model.F90:220-307),
     or through the matrix-free operator."""
@@ -119,17 +137,14 @@ def _calculate_data(ctx: ProblemContext, cfg: Config, solve_dtype):
         m = np.asarray(ctx.model.val).reshape(ctx.model.ncomponents, -1)
         x = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0).reshape(-1)
         xj = jnp.asarray(x, solve_dtype)
-        if wavelet_domain:
-            # Packed operators live in the wavelet domain
-            # (model.F90:272-274 semantics).
-            from tomofastx_tpu.ops import wavelet as W
-
-            g = ctx.model.grid
-            xj = W.forward_wavelet_flat(
-                xj.reshape(ctx.model.ncomponents, -1), g.nx, g.ny, g.nz,
-                ctx.par.compression_type,
-            ).reshape(-1)
-        d = np.asarray(op.matvec(xj))
+        g = ctx.model.grid
+        d = np.asarray(
+            _op_forward_jit(
+                op, xj,
+                ctx.par.compression_type if wavelet_domain else 0,
+                g.nx, g.ny, g.nz, ctx.model.ncomponents,
+            )
+        )
         d = d.reshape(ctx.data.ndata, ctx.data.ncomponents)
         ctx.data.val_calc = d / pw / np.asarray(ctx.data.weight)
 

@@ -738,6 +738,19 @@ def apply_row_weights(kernel: SensitKernel, problem_weight: float, data_weight: 
     )
 
 
+@partial(jax.jit, static_argnames=("ct", "nx", "ny", "nz", "nmc", "solve_dtype"))
+def _forward_stored(S, x, ct, nx, ny, nz, nmc, solve_dtype):
+    """One jitted program for the host-side forward d = S W(x): unjitted,
+    the 3-D wavelet lifting dispatched ~100 tiny eager ops per call — each
+    a separate XLA compile on a cold start and a tunnel round-trip on
+    every call over the remote TPU."""
+    if ct:
+        x = W.forward_wavelet_flat(
+            x.reshape(nmc, -1), nx, ny, nz, ct
+        ).reshape(-1)
+    return S.astype(solve_dtype) @ x
+
+
 def calculate_data(
     kernel: SensitKernel,
     model_val: np.ndarray,
@@ -754,8 +767,10 @@ def calculate_data(
     m = np.asarray(model_val).reshape(kernel.nmodel_components, -1)
     m_scaled = np.where(cw != 0.0, m / np.where(cw != 0.0, cw, 1.0), 0.0)
     x = jnp.asarray(m_scaled.reshape(-1), solve_dtype)
-    x = kernel.to_solver_domain(x)
-    d = kernel.S.astype(solve_dtype) @ x
+    d = _forward_stored(
+        kernel.S, x, kernel.compression_type, kernel.nx, kernel.ny,
+        kernel.nz, kernel.nmodel_components, jnp.dtype(solve_dtype),
+    )
     d = np.asarray(d).reshape(kernel.ndata, kernel.ndata_components)
     if problem_weight == 0.0:
         raise ValueError("Zero problem weight in calculate_data!")
