@@ -45,6 +45,15 @@ def main():
 
     from tomofastx_tpu.ops.lsqr import lsqr_solve
 
+    # Tunnel-health probe FIRST (CLAUDE.md): the axon tunnel's per-process
+    # first-dispatch latency varies from 4 s to 385 s by the hour and
+    # confounds every cold-wall number below. Measure it before anything
+    # else touches the device and report it alongside the walls.
+    t_probe = time.time()
+    _ = float(jnp.float32(1.0) + jnp.float32(2.0))
+    first_dispatch_s = round(time.time() - t_probe, 1)
+    _log(f"[bench] first tiny dispatch (tunnel handshake): {first_dispatch_s}s")
+
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     if small:
         ndata, N = 512, 32768
@@ -103,7 +112,40 @@ def main():
         "lsqr_iters_per_s": round(iters_per_s, 2),
         "solve_wall_s": round(dt, 4),
         "backend": jax.default_backend(),
+        "tunnel_first_dispatch_s": first_dispatch_s,
     }
+
+    # bf16 kernel storage (tpu.kernelStoreDtype = bfloat16): halves the
+    # HBM bytes the GEMV pair streams, so the same HBM-bound loop runs
+    # ~1.5-2x more iterations/s. The MXU takes bf16 operands with f32
+    # accumulate natively; production pairs this with exact-physics
+    # iterative refinement (tpu.refineForward) so inversion quality is
+    # anchored by f64 physics, not the stored dtype (CLAUDE.md policy).
+    try:
+        S16 = S.astype(jnp.bfloat16)
+        jax.block_until_ready(S16)
+        res16 = solve(S16, bb)
+        _ = float(res16.r)  # compile + first run
+        t0 = time.time()
+        for _ in range(reps):
+            res16 = solve(S16, bb)
+            _ = float(res16.r)
+        dt16 = (time.time() - t0) / reps
+        iters16 = int(res16.iters)
+        gflops16 = iters16 * 2 * (2.0 * ndata * N) / dt16 / 1e9
+        detail["bf16_storage"] = {
+            "lsqr_iters": iters16,
+            "lsqr_iters_per_s": round(iters16 / dt16, 2),
+            "gflops_per_chip": round(gflops16, 2),
+            "speedup_vs_f32_storage": round(gflops16 / gflops, 2),
+            "residual_rel_dev_vs_f32": round(
+                abs(float(res16.r) - float(res.r)) / max(float(res.r), 1e-30), 6
+            ),
+        }
+        _log(f"[bench] bf16 storage: {gflops16:.0f} GFLOP/s "
+             f"({gflops16 / gflops:.2f}x f32 storage)")
+    except Exception as e:  # never lose the primary metric
+        _log(f"[bench] bf16 storage bench failed: {e}")
 
     # ---- production-path metrics (VERDICT round-1 item 6): not a bare
     # GEMV but the full product — wavelet conversions, damping + ADMM,
@@ -140,10 +182,14 @@ def main():
     # persistent compile cache; the budget fails loudly on regression
     # (the reference has zero compile cost — its startup is file I/O,
     # program_tomofastx.F90:56-95).
+    b16 = detail.get("bf16_storage")
+    if b16:
+        record["bf16_gflops_per_chip"] = b16["gflops_per_chip"]
     mf = detail.get("mansfield_fused")
     if mf:
         record["mansfield_cold_wall_s"] = mf["cold_wall_s"]
         record["mansfield_warm_wall_s"] = mf["warm_wall_s"]
+        record["tunnel_first_dispatch_s"] = first_dispatch_s
         record["cold_wall_budget_s"] = COLD_WALL_BUDGET_S
         record["cold_wall_regressed"] = mf["cold_wall_s"] > COLD_WALL_BUDGET_S
         if record["cold_wall_regressed"]:
