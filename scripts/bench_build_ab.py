@@ -101,18 +101,24 @@ def main():
     out = {"ncells": NX * NY * NZ, "nrows": ND}
 
     configs = [
-        # (tag, compute_dtype, near_field, compression, batch)
-        ("mixed_k1024_rate0.15", jnp.float32, 1024, 1, 256),
-        ("full_f64_nocomp", jnp.float64, 0, 0, 32),
+        # (tag, compute_dtype, near_field, compression, batch, f32pipe, lattices)
+        ("mixed_k1024_rate0.15", jnp.float32, 1024, 1, 256, 0, (1, 0)),
+        ("full_f64_nocomp", jnp.float64, 0, 0, 32, 0, (1, 0)),
+        # tpu.f64BuildF32Compress: f64 physics + f32 compression pipeline —
+        # the f64-quality compressed build at f32 pipeline speed. (The f64-
+        # pipeline compressed variant is omitted: emulated-f64 wavelet +
+        # top_k is ~20x the physics and its program is a dead compile.)
+        ("full_f64_rate0.15_f32pipe", jnp.float64, 0, 1, 32, 1, (1,)),
     ]
-    for tag, cdt, nf, comp, bs in configs:
-        for lattice in (1, 0):
+    for tag, cdt, nf, comp, bs, f32pipe, lattices in configs:
+        for lattice in lattices:
             par = GravParams(nx=NX, ny=NY, nz=NZ, ndata=ND,
                              depth_weighting_type=1, Z0=0.1,
                              depth_weighting_power=2.0)
             par.compression_type = comp
             par.compression_rate = RATE
             par.lattice_build = lattice
+            par.f64_build_f32_compress = f32pipe
             cold, warm, chk = one_build(par, grid, data, cdt, nf, bs)
             key = f"{tag}_lattice{lattice}"
             out[key] = {"cold_s": round(cold, 2), "warm_s": round(warm, 2),
@@ -128,6 +134,12 @@ def main():
         out[f"{tag}_checksum_rel_dev"] = rel
         print(f"{tag}: lattice speedup {out[f'{tag}_speedup']}x, "
               f"checksum rel dev {rel:.2e}", flush=True)
+    if "full_f64_rate0.15_f32pipe_lattice1" in out:
+        f64c = out["full_f64_rate0.15_f32pipe_lattice1"]
+        mix = out["mixed_k1024_rate0.15_lattice1"]
+        print(f"f64-quality compressed build vs mixed production build: "
+              f"{f64c['rows_per_s_warm']} vs {mix['rows_per_s_warm']} rows/s",
+              flush=True)
 
     print(json.dumps(out))
 

@@ -455,3 +455,62 @@ def test_refine_forward_mixed_formats(tmp_path):
     assert np.all(np.isfinite(res.models[GRAV].val))
     assert np.all(np.isfinite(res.models[MAGN].val))
     assert res.cost_data[GRAV] < 0.5 and res.cost_data[MAGN] < 0.5
+
+
+def test_f64_build_f32_compress_pipeline(tmp_path):
+    """tpu.f64BuildF32Compress = 1: a full-f64 build with <=32-bit storage
+    rounds rows to f32 AFTER the f64 physics + depth weighting and runs
+    the wavelet + threshold pipeline in f32 (on TPU the emulated-f64
+    compression stage is ~20x slower while storage rounds to f32 anyway).
+    The stored kernels must agree to f32 rounding of the pipeline; the
+    default (0) keeps the reference's f64 pipeline semantics
+    (sensitivity_gravmag.F90:237-272)."""
+    par, grid, data, cw = _setup(tmp_path, "grav")
+    par.compression_type = 1
+    par.compression_rate = 0.3
+
+    ref = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float32)
+    par.f64_build_f32_compress = 1
+    fast = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float32)
+
+    A, B = np.asarray(fast.S), np.asarray(ref.S)
+    assert A.dtype == np.float32 and B.dtype == np.float32
+    # On the common support the surviving wavelet coefficients agree to
+    # f32 pipeline rounding.
+    common = (A != 0) & (B != 0)
+    scale = np.max(np.abs(B), axis=1, keepdims=True)
+    np.testing.assert_allclose(
+        np.where(common, A, 0.0) / scale, np.where(common, B, 0.0) / scale,
+        rtol=0, atol=2e-6,
+    )
+    # Structural differences are only threshold TIE-SWAPS: rare (the f32
+    # pipeline reorders near-equal coefficients at the selection boundary)
+    # and bounded in magnitude by the row's own threshold (~ the smallest
+    # kept coefficient).
+    mism = (A != 0) != (B != 0)
+    assert mism.sum() <= max(4, 0.01 * (B != 0).sum())
+    thresh = np.where(
+        (B != 0).any(axis=1),
+        np.min(np.abs(np.where(B != 0, B, np.inf)), axis=1),
+        0.0,
+    )
+    bad = np.abs(np.where(mism, A + B, 0.0)) > 2.0 * thresh[:, None]
+    assert not bad.any()
+    # The flag must be inert for f64 storage (pipeline stays f64).
+    ref64 = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    par.f64_build_f32_compress = 0
+    base64 = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(ref64.S), np.asarray(base64.S))
+
+
+def test_f64_build_f32_compress_parfile_key(tmp_path):
+    from tests.util_fixtures import make_base_config
+    from tomofastx_tpu.config.parfile import read_parfile
+
+    cfg, _, _ = make_base_config(str(tmp_path), NX, NY, NZ, ndata=4)
+    path = tmp_path / "Parfile_key.txt"
+    base = open(cfg.source_parfile).read() if getattr(cfg, "source_parfile", None) else ""
+    path.write_text(base + "\ntpu.f64BuildF32Compress = 1\n")
+    c2 = read_parfile(str(path), warn_unknown=False)
+    assert c2.grav.f64_build_f32_compress == 1
+    assert c2.magn.f64_build_f32_compress == 1

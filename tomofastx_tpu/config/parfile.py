@@ -108,6 +108,16 @@ class GravParams:
     # the per-cell 8-corner sums. Values agree with the per-cell build to
     # summation-order rounding. 0 forces the per-cell build.
     lattice_build: int = 1
+    # For FULL-f64 kernel builds with <=32-bit storage: round rows to f32
+    # after the (f64) physics + depth weighting and run the wavelet +
+    # threshold compression pipeline in f32 (1). On TPU f64 is emulated
+    # and the f64 compression stage is ~20x slower than f32 while the
+    # result is rounded to f32 storage anyway; the mixed-build A/B showed
+    # the pipeline precision is inversion-quality-neutral (truth-corr
+    # 0.8062 f64 pipeline vs 0.8063 f32, BASELINE.md). Default 0 keeps
+    # the reference's double-precision pipeline semantics
+    # (sensitivity_gravmag.F90:237-272).
+    f64_build_f32_compress: int = 0
 
     @property
     def nelements_total(self) -> int:
@@ -513,6 +523,8 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         g.refine_forward = m.refine_forward = ival(val)
     elif K == "tpu.latticeBuild":
         g.lattice_build = m.lattice_build = ival(val)
+    elif K == "tpu.f64BuildF32Compress":
+        g.f64_build_f32_compress = m.f64_build_f32_compress = ival(val)
     elif K == "tpu.kernelStoreDtype":
         v = sval(val)
         if v not in ("float32", "bfloat16"):

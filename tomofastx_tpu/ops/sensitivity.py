@@ -455,6 +455,7 @@ def compute_sensitivity(
         else ()
     )
 
+    f32_pipeline = bool(getattr(par, "f64_build_f32_compress", 0))
     K = min(near_field_f64, N) if near_field_f64 > 0 else 0
     if K > 0:
         grid_arrays64 = tuple(
@@ -506,9 +507,19 @@ def compute_sensitivity(
                     # (round-2 build profile, BASELINE.md). The full-f64
                     # build (compute_dtype=f64) and f64-storage paths keep
                     # the reference's double-precision wavelet/threshold
-                    # pipeline (sensitivity_gravmag.F90:237-272).
+                    # pipeline (sensitivity_gravmag.F90:237-272) unless
+                    # tpu.f64BuildF32Compress opts into the same rounding.
                     return (rows * cwa[:, None, None]).astype(compute_dtype)
-            return rows * cwa[:, None, None].astype(rows.dtype)  # depth weighting
+            out = rows * cwa[:, None, None].astype(rows.dtype)  # depth weighting
+            if (
+                f32_pipeline
+                and out.dtype == jnp.float64
+                and jnp.dtype(store_dtype).itemsize <= 4
+            ):
+                # tpu.f64BuildF32Compress: full-f64 physics + weighting,
+                # f32 compression pipeline (see config/parfile.py).
+                out = out.astype(jnp.float32)
+            return out
 
         rows = jax.vmap(one)(xd, yd, zd)  # (B, N, nmc, ndc)
         rows = jnp.moveaxis(rows, 1, -1)  # (B, nmc, ndc, N) -> lines over N
