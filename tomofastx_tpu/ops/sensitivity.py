@@ -470,8 +470,7 @@ def compute_sensitivity(
     # closed-over device arrays are baked into the HLO as constants
     # (~19 MB at 262k cells), which bloats every build_chunk compile and
     # its persistent-cache key (CLAUDE.md gotcha, measured round 2).
-    @jax.jit
-    def build_chunk(ga, ga64, cwa, centers, la, xd, yd, zd):
+    def _chunk_body(ga, ga64, cwa, centers, la, xd, yd, zd):
         def one(x, y, z):
             if la:
                 from tomofastx_tpu.ops.matrixfree import lattice_rows_for_point
@@ -537,6 +536,8 @@ def compute_sensitivity(
             jnp.zeros((comp.shape[0],), compute_dtype),
         )
 
+    build_chunk = jax.jit(_chunk_body)
+
     xs = np.asarray(data.X, np.float64)
     ys = np.asarray(data.Y, np.float64)
     zs = np.asarray(data.Z, np.float64)
@@ -582,30 +583,94 @@ def compute_sensitivity(
     # writer (io/sensit_cache) pulls the kernel once only if asked to.
     device_accum = mesh is None and row_sink is None
     if device_accum:
+        # Single-dispatch chunks: each chunk is ONE jitted program that
+        # slices its observation coordinates out of device-resident
+        # full-survey arrays, computes the rows, and writes them into the
+        # donated kernel buffer. The previous shape (3 host->device
+        # coordinate uploads + a build dispatch + an accumulate dispatch
+        # per chunk) paid ~5 tunnel round-trips per chunk — at 50-100 ms
+        # RTT that overhead, not compute, dominated the measured build
+        # (162 rows/s steady vs a ~780 rows/s stage sum, BASELINE.md).
+        #
+        # Chunks are a UNIFORM B rows (one compiled program; the tail
+        # chunk is padded with far-away dummy points and masked out of
+        # the stats), so the kernel buffer is padded to nd_pad rows and
+        # sliced back once at the end.
+        #
         # Accumulate directly in the FINAL 2-D solver layout. A 4-D
         # (nd, ndc, nmc, N) device buffer with unit middle dims gets a
         # TPU-tiled physical layout that breaks the later pull (measured:
         # RESOURCE_EXHAUSTED relayout on an 8 GB kernel); the 2-D layout
         # accumulates, reshapes, slices, and pulls cleanly.
-        S_dev = jnp.zeros((nd * ndc, nmc * N), store_dtype)
+        far = (
+            float(np.max(grid.X2)) + 1.0e6,
+            float(np.max(grid.Y2)) + 1.0e6,
+            float(np.min(grid.Z1)) - 1.0e6,
+        )
+        nd_pad = ((nd + batch_size - 1) // batch_size) * batch_size
+        S_dev = jnp.zeros((nd_pad * ndc, nmc * N), store_dtype)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def accum(S_dev, comp, s):
-            z = s * 0  # same integer dtype as s under any x64 setting
-            comp2 = comp.reshape(comp.shape[0] * ndc, nmc * N)
-            return jax.lax.dynamic_update_slice(S_dev, comp2, (s, z))
+        def pad_far(a, fill):
+            buf = np.full(nd_pad, fill, np.float64)
+            buf[:nd] = a
+            return jnp.asarray(buf, compute_dtype)
+
+        xs_dev = pad_far(xs, far[0])
+        ys_dev = pad_far(ys, far[1])
+        zs_dev = pad_far(zs, far[2])
+
+        fused_cache = {}
+
+        def make_fused(B):
+            if B in fused_cache:
+                return fused_cache[B]
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def fused(S_dev, start, nb, ga, ga64, cwa, centers, la,
+                      xs_all, ys_all, zs_all):
+                xd = jax.lax.dynamic_slice(xs_all, (start,), (B,))
+                yd = jax.lax.dynamic_slice(ys_all, (start,), (B,))
+                zd = jax.lax.dynamic_slice(zs_all, (start,), (B,))
+                comp, nnz, err_sum = _chunk_body(
+                    ga, ga64, cwa, centers, la, xd, yd, zd
+                )
+                comp2 = comp.reshape(B * ndc, nmc * N)
+                S_dev = jax.lax.dynamic_update_slice(
+                    S_dev, comp2, (start * ndc, start * 0)
+                )
+                mask = jnp.arange(B) < nb
+                # One chunk's nnz sum stays well under 2^31 (the memory
+                # cap bounds B*N); the cross-chunk total is summed on the
+                # host in int64.
+                nnz_s = jnp.sum(jnp.where(mask, nnz, 0).astype(jnp.int32))
+                err_s = jnp.sum(jnp.where(mask, err_sum, 0))
+                return S_dev, nnz_s, err_s
+
+            fused_cache[B] = fused
+            return fused
 
     chunks = []
     nnz_parts, err_parts = [], []
     nnz_total = 0
     err_total = 0.0
-    plan = _chunk_plan(nd, batch_size)
+    batch_cur = batch_size
+    if device_accum:
+        # Uniform chunk shape: one compiled program for every chunk (the
+        # tail is padded with dummy points and masked out of the stats).
+        plan = [(s0, min(batch_cur, nd - s0)) for s0 in range(0, nd, batch_cur)]
+    else:
+        plan = _chunk_plan(nd, batch_size)
     ci = 0
     while ci < len(plan):
         s, nb = plan[ci]
         e = s + nb
         try:
-            if mesh is not None:
+            if device_accum:
+                S_dev, nnz_s, err_s = make_fused(batch_cur)(
+                    S_dev, np.int32(s), np.int32(nb), *big_args,
+                    xs_dev, ys_dev, zs_dev,
+                )
+            elif mesh is not None:
                 b_pad = ((nb + n_mesh - 1) // n_mesh) * n_mesh
                 comp, nnz, err_sum = build_chunk(
                     *big_args,
@@ -627,7 +692,7 @@ def compute_sensitivity(
                 # Chunks are memory-identical, so first-chunk success
                 # predicts the rest. (Host fetch, not block_until_ready —
                 # the axon tunnel's block_until_ready returns early.)
-                _ = float(jnp.sum(nnz))
+                _ = float(err_s if device_accum else jnp.sum(nnz))
         except Exception as exc:  # adaptive chunk shrink on XLA OOM
             # Some shape/precision combinations exceed TPU scoped VMEM in
             # the wavelet lifting scatter (observed: B=256 at 64^3 cells
@@ -642,24 +707,38 @@ def compute_sensitivity(
             if not resource or nb <= 8:
                 raise
             new_batch = max(8, nb // 2)
-            plan = plan[:ci] + [
-                (s + off, n) for off, n in _chunk_plan(nd - s, new_batch)
-            ]
+            if device_accum:
+                # The failed call may have consumed the donated kernel
+                # buffer; chunks are memory-identical so the failure is at
+                # ci == 0 (nothing built yet) — restart the whole plan at
+                # the smaller uniform chunk. nd_pad stays valid: new_batch
+                # divides batch_size, so ceil-to-new_batch <= nd_pad.
+                S_dev = jnp.zeros((nd_pad * ndc, nmc * N), store_dtype)
+                nnz_parts, err_parts = [], []
+                nnz_total, err_total = 0, 0.0
+                batch_cur = new_batch
+                plan = [
+                    (s0, min(batch_cur, nd - s0))
+                    for s0 in range(0, nd, batch_cur)
+                ]
+                ci = 0
+            else:
+                plan = plan[:ci] + [
+                    (s + off, n) for off, n in _chunk_plan(nd - s, new_batch)
+                ]
             continue
         if device_accum:
-            S_dev = accum(S_dev, comp, np.int32(s * ndc))
-            # No host sync per chunk: pulling the (B,) nnz/err stats here
-            # costs a tunnel round-trip (~0.2 s) per chunk — keep them as
-            # queued device scalars and reduce once after the loop, so the
-            # host races ahead dispatching chunks while the device works.
-            # Uncompressed nnz is deterministic (every entry kept): count
-            # on the host — the device int32 per-chunk sum would overflow
-            # past ~2^31 entries (x64 off).
+            # No host sync per chunk: the fused program returns queued
+            # device scalars (masked nnz/err sums) that are stacked and
+            # pulled ONCE after the loop, so the host races ahead
+            # dispatching chunks while the device works. Uncompressed nnz
+            # is deterministic (every entry kept): count on the host —
+            # a device int32 total would overflow past ~2^31 entries.
             if par.compression_type > 0:
-                nnz_parts.append(jnp.sum(nnz[:nb]))
+                nnz_parts.append(nnz_s)
             else:
                 nnz_total += nb * ndc * nmc * N
-            err_parts.append(jnp.sum(err_sum[:nb]))
+            err_parts.append(err_s)
         else:
             chunk_np = np.asarray(comp)[:nb]
             if row_sink is not None:
@@ -696,6 +775,9 @@ def compute_sensitivity(
         )
 
     if device_accum:
+        if nd_pad != nd:
+            # Drop the dummy tail rows (device-side copy, one-time).
+            S_dev = S_dev[: nd * ndc]
         prism.validate_finite_device("sensitivity kernel", S_dev)
         S = S_dev  # already in the 2-D solver layout
     else:
