@@ -55,6 +55,14 @@ def main(argv=None):
         "K nearest cells per observation (fast on TPU, near-f64 quality)",
     )
     parser.add_argument(
+        "--f32-compress", action="store_true",
+        help="run the wavelet+threshold compression pipeline in f32 for "
+        "full-f64 kernel builds (tpu.f64BuildF32Compress=1): f64-quality "
+        "compressed kernels at f32 pipeline speed — on lattice grids this "
+        "supersedes --fast-build (full f64 physics via the corner-lattice "
+        "build, no near-field approximation)",
+    )
+    parser.add_argument(
         "--fused", type=int, default=0, metavar="M",
         help="run the major loop in on-device chunks of M iterations "
         "(one lax.scan program per chunk; no host round-trips in between)",
@@ -143,6 +151,10 @@ def main(argv=None):
         from tomofastx_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(args.mesh if "x" in args.mesh else int(args.mesh))
+
+    if args.f32_compress:
+        cfg.grav.f64_build_f32_compress = 1
+        cfg.magn.f64_build_f32_compress = 1
 
     try:
         with profile_cm:
