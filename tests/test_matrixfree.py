@@ -514,3 +514,33 @@ def test_f64_build_f32_compress_parfile_key(tmp_path):
     c2 = read_parfile(str(path), warn_unknown=False)
     assert c2.grav.f64_build_f32_compress == 1
     assert c2.magn.f64_build_f32_compress == 1
+
+
+def test_build_adaptive_oom_restart(tmp_path, monkeypatch):
+    """The device-accumulation build's adaptive shrink: when the fused
+    chunk program fails with a resource error (TPU scoped-VMEM OOM at
+    large B — CLAUDE.md gotcha), the build must restart with a halved
+    uniform chunk and produce the identical kernel. The donated kernel
+    buffer may have been consumed by the failed call, so the restart
+    recreates it from scratch."""
+    par, grid, data, cw = _setup(tmp_path, "grav")
+    par.lattice_build = 0  # the per-cell path goes through forward_rows
+    ref = sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float32)
+
+    real = sens.forward_rows
+    calls = {"n": 0, "raised": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["raised"] == 0:
+            calls["raised"] = 1
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake scoped-vmem OOM")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sens, "forward_rows", flaky)
+    got = sens.compute_sensitivity(
+        par, grid, data, cw, jnp.float64, jnp.float32, batch_size=16
+    )
+    assert calls["raised"] == 1 and calls["n"] >= 1
+    np.testing.assert_array_equal(np.asarray(got.S), np.asarray(ref.S))
+    assert got.nnz == ref.nnz
