@@ -109,6 +109,11 @@ def main():
         # pipeline compressed variant is omitted: emulated-f64 wavelet +
         # top_k is ~20x the physics and its program is a dead compile.)
         ("full_f64_rate0.15_f32pipe", jnp.float64, 0, 1, 32, 1, (1,)),
+        # Larger batch for the lattice f64 build (per-cell f64 OOMs above
+        # B=32, but the lattice corner-field temps are ~8x smaller), and
+        # the compressed variant at the same batch.
+        ("full_f64_nocomp_B128", jnp.float64, 0, 0, 128, 0, (1,)),
+        ("full_f64_rate0.15_f32pipe_B128", jnp.float64, 0, 1, 128, 1, (1,)),
     ]
     for tag, cdt, nf, comp, bs, f32pipe, lattices in configs:
         for lattice in lattices:
