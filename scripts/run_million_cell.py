@@ -66,7 +66,13 @@ def main():
     N = nx * ny * nz
     nd = nside * nside
 
-    work = f"/tmp/million_cell_{nx}x{ny}x{nz}"
+    # MC_F64_BUILD=1: full-f64 physics build (corner-lattice, round 3)
+    # instead of the mixed f32 + f64-near-field build — full Mansfield-
+    # anchor quality with no near-field approximation. Separate work dir
+    # so a mixed-build sensit cache is never silently reused.
+    f64_build = os.environ.get("MC_F64_BUILD", "0") == "1"
+    near_field = 0 if f64_build else 1024
+    work = f"/tmp/million_cell_{nx}x{ny}x{nz}" + ("_f64" if f64_build else "")
     os.makedirs(work, exist_ok=True)
     t0 = time.time()
     i, j, k = write_grid_file_fast(f"{work}/grid.txt", nx, ny, nz, hx, hy, hz)
@@ -127,12 +133,13 @@ def main():
     cfg = parse_parfile_lines(lines)
 
     out = {"ncells": N, "ndata": nd, "majors": majors, "minors": minors,
+           "build": "full_f64_lattice" if f64_build else "mixed_f32_k1024",
            "backend": jax.default_backend()}
 
     t0 = time.time()
     try:
         res = solve_problem_joint_gravmag(
-            cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=1024,
+            cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=near_field,
             solve_dtype=jnp.float32,  # production policy: f64 build, f32 solve
         )
         out["loop_mode"] = "fused(10)"
@@ -151,7 +158,7 @@ def main():
         ])
         t0 = time.time()
         res = solve_problem_joint_gravmag(
-            cfg2, base_dir=work, verbose=True, near_field_f64=1024,
+            cfg2, base_dir=work, verbose=True, near_field_f64=near_field,
             solve_dtype=jnp.float32,
         )
     wall = time.time() - t0
@@ -190,7 +197,9 @@ def main():
     except Exception as e:
         out["matrixfree_error"] = str(e)[:200]
 
-    path = os.path.join(REPO, "MILLION_CELL.json")
+    path = os.path.join(
+        REPO, "MILLION_CELL_F64.json" if f64_build else "MILLION_CELL.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
