@@ -442,8 +442,14 @@ def compute_sensitivity(
     # test_matrixfree.py::test_lattice_build_matches_percell). The
     # 6-subprism borehole branch is per-cell and cannot share corners;
     # opt out with tpu.latticeBuild = 0.
+    # Only for f64 physics: the corner sharing pays ~8x where the
+    # emulated-f64 transcendentals dominate (702 vs 145 rows/s at the
+    # bench shape, BASELINE.md round 3); in f32 builds the physics stage
+    # is ~5% of a chunk and the lattice variant measured consistently
+    # ~15% SLOWER than per-cell (round-3 A/B) — so f32/mixed builds keep
+    # the per-cell path.
     lattice_edges = None
-    if getattr(par, "lattice_build", 1) and (
+    if getattr(par, "lattice_build", 1) and compute_dtype == jnp.float64 and (
         problem == "grav" or not handle_inside
     ):
         from tomofastx_tpu.ops.matrixfree import detect_lattice
