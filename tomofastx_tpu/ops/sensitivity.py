@@ -713,6 +713,11 @@ def compute_sensitivity(
             if not resource or nb <= 8:
                 raise
             new_batch = max(8, nb // 2)
+            print(
+                f"  build chunk B={nb} hit a resource limit; retrying at "
+                f"B={new_batch} (failed compiles are never cached — "
+                f"see CLAUDE.md)", flush=True,
+            )
             if device_accum:
                 # The failed call may have consumed the donated kernel
                 # buffer; chunks are memory-identical so the failure is at
