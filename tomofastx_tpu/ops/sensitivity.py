@@ -25,6 +25,7 @@ TPU-native counterpart of the reference forward layer
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -381,6 +382,13 @@ def compute_sensitivity(
     (sensitivity_gravmag.F90:306-309)."""
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
+
+    # Escape hatch for pathological XLA compiles: some large-N f64
+    # programs hang the remote compiler for tens of minutes (CLAUDE.md);
+    # a smaller chunk is a smaller program. 0/unset = no cap.
+    env_cap = int(os.environ.get("TOMOFASTX_BUILD_BATCH", "0") or 0)
+    if env_cap > 0:
+        batch_size = min(batch_size, env_cap)
 
     if jax.default_backend() == "tpu":
         # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
