@@ -127,7 +127,9 @@ def main():
     ]
     # Reuse a kernel cache left by a previous (possibly failed) run: the
     # build is ~14 min on the tunnel, the cache read ~1 min.
-    if os.path.exists(f"{work}/out/SENSIT/sensit_grav_meta.txt"):
+    if os.path.exists(f"{work}/out/SENSIT/sensit_grav_meta.txt") and os.path.exists(
+        f"{work}/out/SENSIT/sensit_grav_weight"
+    ):  # a killed run can leave a partial cache (meta without payload)
         print("reusing existing sensitivity cache", flush=True)
         lines += ["sensit.readFromFiles = 1\n", "sensit.folderPath = out/SENSIT/\n"]
     cfg = parse_parfile_lines(lines)
