@@ -606,32 +606,22 @@ def compute_sensitivity(
         # RTT that overhead, not compute, dominated the measured build
         # (162 rows/s steady vs a ~780 rows/s stage sum, BASELINE.md).
         #
-        # Chunks are a UNIFORM B rows (one compiled program; the tail
-        # chunk is padded with far-away dummy points and masked out of
-        # the stats), so the kernel buffer is padded to nd_pad rows and
-        # sliced back once at the end.
+        # Chunks are a UNIFORM B rows plus (at most) one exact-size tail
+        # program — two compiled programs, NO padding: padding the kernel
+        # buffer to a row multiple needs a device-side slice copy at the
+        # end, which doubles peak HBM and RESOURCE_EXHAUSTs a 7.9 GB
+        # kernel on the 16 GB chip (measured at the 1M-cell demo).
         #
         # Accumulate directly in the FINAL 2-D solver layout. A 4-D
         # (nd, ndc, nmc, N) device buffer with unit middle dims gets a
         # TPU-tiled physical layout that breaks the later pull (measured:
         # RESOURCE_EXHAUSTED relayout on an 8 GB kernel); the 2-D layout
         # accumulates, reshapes, slices, and pulls cleanly.
-        far = (
-            float(np.max(grid.X2)) + 1.0e6,
-            float(np.max(grid.Y2)) + 1.0e6,
-            float(np.min(grid.Z1)) - 1.0e6,
-        )
-        nd_pad = ((nd + batch_size - 1) // batch_size) * batch_size
-        S_dev = jnp.zeros((nd_pad * ndc, nmc * N), store_dtype)
+        S_dev = jnp.zeros((nd * ndc, nmc * N), store_dtype)
 
-        def pad_far(a, fill):
-            buf = np.full(nd_pad, fill, np.float64)
-            buf[:nd] = a
-            return jnp.asarray(buf, compute_dtype)
-
-        xs_dev = pad_far(xs, far[0])
-        ys_dev = pad_far(ys, far[1])
-        zs_dev = pad_far(zs, far[2])
+        xs_dev = jnp.asarray(xs, compute_dtype)
+        ys_dev = jnp.asarray(ys, compute_dtype)
+        zs_dev = jnp.asarray(zs, compute_dtype)
 
         fused_cache = {}
 
@@ -640,7 +630,7 @@ def compute_sensitivity(
                 return fused_cache[B]
 
             @partial(jax.jit, donate_argnums=(0,))
-            def fused(S_dev, start, nb, ga, ga64, cwa, centers, la,
+            def fused(S_dev, start, ga, ga64, cwa, centers, la,
                       xs_all, ys_all, zs_all):
                 xd = jax.lax.dynamic_slice(xs_all, (start,), (B,))
                 yd = jax.lax.dynamic_slice(ys_all, (start,), (B,))
@@ -652,12 +642,11 @@ def compute_sensitivity(
                 S_dev = jax.lax.dynamic_update_slice(
                     S_dev, comp2, (start * ndc, start * 0)
                 )
-                mask = jnp.arange(B) < nb
                 # One chunk's nnz sum stays well under 2^31 (the memory
                 # cap bounds B*N); the cross-chunk total is summed on the
                 # host in int64.
-                nnz_s = jnp.sum(jnp.where(mask, nnz, 0).astype(jnp.int32))
-                err_s = jnp.sum(jnp.where(mask, err_sum, 0))
+                nnz_s = jnp.sum(nnz.astype(jnp.int32))
+                err_s = jnp.sum(err_sum)
                 return S_dev, nnz_s, err_s
 
             fused_cache[B] = fused
@@ -669,8 +658,8 @@ def compute_sensitivity(
     err_total = 0.0
     batch_cur = batch_size
     if device_accum:
-        # Uniform chunk shape: one compiled program for every chunk (the
-        # tail is padded with dummy points and masked out of the stats).
+        # Uniform chunk shape (+ one exact-size tail program): at most two
+        # compiled programs, no padding anywhere.
         plan = [(s0, min(batch_cur, nd - s0)) for s0 in range(0, nd, batch_cur)]
     else:
         plan = _chunk_plan(nd, batch_size)
@@ -680,8 +669,8 @@ def compute_sensitivity(
         e = s + nb
         try:
             if device_accum:
-                S_dev, nnz_s, err_s = make_fused(batch_cur)(
-                    S_dev, np.int32(s), np.int32(nb), *big_args,
+                S_dev, nnz_s, err_s = make_fused(nb)(
+                    S_dev, np.int32(s), *big_args,
                     xs_dev, ys_dev, zs_dev,
                 )
             elif mesh is not None:
@@ -730,9 +719,8 @@ def compute_sensitivity(
                 # The failed call may have consumed the donated kernel
                 # buffer; chunks are memory-identical so the failure is at
                 # ci == 0 (nothing built yet) — restart the whole plan at
-                # the smaller uniform chunk. nd_pad stays valid: new_batch
-                # divides batch_size, so ceil-to-new_batch <= nd_pad.
-                S_dev = jnp.zeros((nd_pad * ndc, nmc * N), store_dtype)
+                # the smaller uniform chunk.
+                S_dev = jnp.zeros((nd * ndc, nmc * N), store_dtype)
                 nnz_parts, err_parts = [], []
                 nnz_total, err_total = 0, 0.0
                 batch_cur = new_batch
@@ -794,9 +782,6 @@ def compute_sensitivity(
         )
 
     if device_accum:
-        if nd_pad != nd:
-            # Drop the dummy tail rows (device-side copy, one-time).
-            S_dev = S_dev[: nd * ndc]
         prism.validate_finite_device("sensitivity kernel", S_dev)
         S = S_dev  # already in the 2-D solver layout
     else:
