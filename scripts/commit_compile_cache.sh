@@ -11,12 +11,18 @@
 # with a DIFFERENT JAX version the inherited blobs are dead weight. To keep
 # history from accumulating stale blobs, this script:
 #   - drops tracked entries that no longer exist on disk (pruned/stale),
-#   - refuses to stage more than MAX_MB (override: MAX_MB=500 sh ...).
+#   - if over MAX_MB (override: MAX_MB=500 sh ...), PRUNES oldest-mtime
+#     entries from disk+index until under the limit, then stages the rest.
+#     (Entries written this session are newest and survive; checkout-time
+#     entries share one mtime and are pruned in arbitrary order among
+#     themselves — acceptable: a wrongly pruned hot entry just recompiles
+#     once.) The round-3 behavior (exit 1 when over limit) silently
+#     stopped persistence — never refuse, always stage something.
 #
 # Usage: sh scripts/commit_compile_cache.sh   (then git commit)
 set -e
 cd "$(dirname "$0")/.."
-MAX_MB="${MAX_MB:-200}"
+MAX_MB="${MAX_MB:-240}"
 
 # Prune tracked entries that were removed on disk.
 git ls-files .jax_comp_cache | while read -r f; do
@@ -26,9 +32,16 @@ done
 size_mb=$(du -sm .jax_comp_cache | cut -f1)
 echo "cache size: ${size_mb} MB (limit ${MAX_MB} MB)"
 if [ "$size_mb" -gt "$MAX_MB" ]; then
-  echo "ERROR: .jax_comp_cache is ${size_mb} MB > ${MAX_MB} MB — prune old" \
-       "entries (ls -t .jax_comp_cache | tail) or raise MAX_MB." >&2
-  exit 1
+  echo "over limit: pruning oldest entries until under ${MAX_MB} MB"
+  # Oldest mtime first; prune until the total is under the limit.
+  ls -tr .jax_comp_cache | while read -r f; do
+    size_mb=$(du -sm .jax_comp_cache | cut -f1)
+    [ "$size_mb" -le "$MAX_MB" ] && break
+    echo "  prune: $f ($(du -m ".jax_comp_cache/$f" | cut -f1) MB)"
+    rm -f ".jax_comp_cache/$f"
+    git rm -q --cached --ignore-unmatch ".jax_comp_cache/$f"
+  done
+  echo "cache size after prune: $(du -sm .jax_comp_cache | cut -f1) MB"
 fi
 git add -f .jax_comp_cache
 git status --short -- .jax_comp_cache | head

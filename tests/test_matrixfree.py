@@ -544,3 +544,20 @@ def test_build_adaptive_oom_restart(tmp_path, monkeypatch):
     assert calls["raised"] == 1 and calls["n"] >= 1
     np.testing.assert_array_equal(np.asarray(got.S), np.asarray(ref.S))
     assert got.nnz == ref.nnz
+
+
+def test_f64_build_batch_auto_cap():
+    """Emulated-f64 build programs are auto-capped (round-3 verdict item
+    4): XLA compile time for the double-double prism programs blows up
+    past ~3.4e7 f64 row-elements per program — B=112 at 1M cells hung the
+    remote compiler 26+ min while B=32 compiled in ~4 min, and B=128 at
+    262k cells compiled fine (BASELINE.md). The cap reproduces those
+    known-good batch sizes without TOMOFASTX_BUILD_BATCH tuning."""
+    cap = sens._f64_build_batch_cap
+    assert cap(262144) == 128      # 64^3 bench shape: B=128 known-good
+    assert cap(1048576) == 32      # 1M cells: B=32 good, B=112 hung
+    assert cap(4194304) == 8       # 4M cells: floor
+    assert cap(8192) % 8 == 0 and cap(8192) >= 8
+    # Monotone non-increasing in N.
+    caps = [cap(n) for n in (1, 10_000, 100_000, 1_000_000, 10_000_000)]
+    assert caps == sorted(caps, reverse=True)

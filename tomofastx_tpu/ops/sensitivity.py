@@ -335,6 +335,16 @@ def _chunk_plan(nd: int, batch: int):
     return plan
 
 
+def _f64_build_batch_cap(n_cells: int) -> int:
+    """Max rows per emulated-f64 build program for a safe XLA compile.
+
+    Calibrated on hardware (BASELINE.md): 3.4e7 f64 row-elements per
+    program compiled in ~4 min worst case (B=128 at 262k cells, B=32 at
+    1M cells), while 1.2e8 (B=112 at 1M cells) hung the remote compiler
+    26+ min. Returns a multiple of 8, at least 8."""
+    return max(8, int(3.4e7 // max(n_cells, 1)) // 8 * 8)
+
+
 def compute_sensitivity(
     par,
     grid: Grid,
@@ -383,12 +393,22 @@ def compute_sensitivity(
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
-    # Escape hatch for pathological XLA compiles: some large-N f64
-    # programs hang the remote compiler for tens of minutes (CLAUDE.md);
-    # a smaller chunk is a smaller program. 0/unset = no cap.
+    # Manual override for the build chunk size (takes precedence over the
+    # automatic emulated-f64 program-size cap below). 0/unset = automatic.
     env_cap = int(os.environ.get("TOMOFASTX_BUILD_BATCH", "0") or 0)
     if env_cap > 0:
         batch_size = min(batch_size, env_cap)
+    elif (jax.default_backend() == "tpu"
+          and jnp.dtype(compute_dtype) == jnp.float64):
+        # Auto-cap emulated-f64 program size: XLA's compile time for the
+        # double-double prism programs grows super-linearly with program
+        # size, and past a threshold the remote compiler effectively hangs
+        # (measured at 262k/1M cells: B*N = 3.4e7 f64 row-elements
+        # compiles in the ~4 min class; B*N = 1.2e8 hung 26+ min and was
+        # killed — BASELINE.md round-3 follow-up 3). Cap B so each build
+        # program stays at or below the known-good size; the cached
+        # program then costs nothing on reruns.
+        batch_size = min(batch_size, _f64_build_batch_cap(N))
 
     if jax.default_backend() == "tpu":
         # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
@@ -717,9 +737,14 @@ def compute_sensitivity(
             )
             if device_accum:
                 # The failed call may have consumed the donated kernel
-                # buffer; chunks are memory-identical so the failure is at
-                # ci == 0 (nothing built yet) — restart the whole plan at
-                # the smaller uniform chunk.
+                # buffer, so restart the whole plan at the smaller uniform
+                # chunk. Uniform chunks are memory-identical, so this
+                # normally fires at ci == 0 (nothing built yet); the tail
+                # chunk compiles a second, smaller-B program that could in
+                # principle fail too — the full restart then discards the
+                # completed prefix, which is correct but wasteful. A
+                # tail-only rebuild is not worth the complexity until a
+                # tail compile failure is actually observed (ADVICE r03).
                 S_dev = jnp.zeros((nd * ndc, nmc * N), store_dtype)
                 nnz_parts, err_parts = [], []
                 nnz_total, err_total = 0, 0.0
