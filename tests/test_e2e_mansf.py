@@ -245,3 +245,42 @@ def test_refine_forward_fused_matches_host(tmp_path):
     np.testing.assert_allclose(
         res_f.models[0].val, res_h.models[0].val, rtol=1e-5, atol=1e-6
     )
+
+
+def test_mansfield_truth_correlation_compensated_f32(tmp_path):
+    """The compensated-f32 build (tpu.farFieldQuad, round-3 verdict item
+    3): PURE f32 physics with far cells evaluated by Gauss quadrature
+    reproduces the full-f64 anchor — measured corr 0.814161 for both, and
+    misfit floor 9.35e-11 vs 9.34e-11 — with no f64 anywhere in the
+    build. The raw-f32 closed forms (farFieldQuad = 0) land at 0.8028
+    with a 5-orders-worse misfit floor; the gap IS the far-field
+    8-corner cancellation noise (ops/prism.py)."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.io import model_io
+
+    true_vals = model_io.read_model_values(
+        f"{REF}/data/gravmag/mansf_slice/true_model_grav_3litho-values.txt", 8192, 1
+    )
+
+    def corr_for(far_quad, sub):
+        cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+        cfg.path_output = str(tmp_path) + f"/{sub}/"
+        cfg.grav.far_field_quad = far_quad
+        cfg.magn.far_field_quad = far_quad
+        res = solve_problem_joint_gravmag(
+            cfg, base_dir=REF, verbose=False, compute_dtype=jnp.float32
+        )
+        m = res.models[0].val.ravel()
+        return np.corrcoef(m, true_vals.ravel())[0, 1], float(res.cost_data[0])
+
+    corr_q, cost_q = corr_for(1, "quad")
+    assert corr_q >= 0.813, f"compensated-f32 anchor regressed: {corr_q:.4f}"
+    assert cost_q < 1e-9, f"compensated-f32 misfit floor regressed: {cost_q:.2e}"
+
+    corr_p, cost_p = corr_for(0, "plain")
+    # The blend must stay discriminating: raw f32 is measurably worse.
+    assert corr_q - corr_p > 0.005, (
+        f"far-field quadrature no longer changes the result "
+        f"({corr_q:.4f} vs {corr_p:.4f}) — blend wiring broken?"
+    )

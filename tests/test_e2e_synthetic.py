@@ -574,3 +574,86 @@ def test_wavelet_domain_solve_matches_model_domain(tmp_path):
     np.testing.assert_allclose(
         res_w.models[GRAV].val, res_m.models[GRAV].val, rtol=1e-4, atol=1e-4
     )
+
+
+def test_compensated_f32_build_on_irregular_grid(tmp_path):
+    """Round-3 verdict item 3 gate: on a NON-lattice (topography) grid —
+    where neither the corner-lattice f64 build nor f64BuildF32Compress
+    apply — the compensated-f32 build (far-field quadrature, pure f32)
+    must land within 1e-3 of the f64 anchor's truth correlation."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.config.parfile import parse_parfile_lines
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops.matrixfree import detect_lattice
+    from tests.util_fixtures import write_data_grid_file, write_values_file
+
+    tmp = str(tmp_path)
+    nx, ny, nz = 32, 32, 8
+    n = nx * ny * nz
+    hx, hy, hz = 100.0, 100.0, 50.0
+    grid_path = os.path.join(tmp, "grid.txt")
+    with open(grid_path, "w") as f:
+        f.write(f"{n}\n")
+        for k in range(nz):
+            for j in range(ny):
+                for i in range(nx):
+                    # Smooth per-column topography offset: breaks the
+                    # tensor-product lattice (z edges vary by column).
+                    topo = 15.0 + 14.0 * np.sin(0.4 * i) * np.cos(0.3 * j)
+                    f.write(
+                        f"{i * hx:.3f} {(i + 1) * hx:.3f} "
+                        f"{j * hy:.3f} {(j + 1) * hy:.3f} "
+                        f"{topo + k * hz:.3f} {topo + (k + 1) * hz:.3f} "
+                        f"{i + 1} {j + 1} {k + 1}\n"
+                    )
+
+    ndata = 256
+    gx, gy = np.meshgrid(
+        (np.arange(16) + 0.5) * nx * hx / 16,
+        (np.arange(16) + 0.5) * ny * hy / 16, indexing="ij",
+    )
+    data_path = os.path.join(tmp, "data.txt")
+    write_data_grid_file(data_path, gx.ravel(), gy.ravel(), np.full(ndata, -1.0))
+
+    true = np.zeros((nz, ny, nx))
+    true[2:5, 6:12, 6:12] = 500.0
+    true[1:4, 20:27, 18:26] = -400.0
+    synth = os.path.join(tmp, "synth.txt")
+    write_values_file(synth, true.reshape(-1, 1))
+
+    def run(tag, compute_dtype):
+        cfg = parse_parfile_lines([
+            f"global.outputFolderPath = {tmp}/out_{tag}/\n",
+            f"modelGrid.size = {nx} {ny} {nz}\n",
+            f"modelGrid.grav.file = {grid_path}\n",
+            f"forward.data.grav.nData = {ndata}\n",
+            f"forward.data.grav.dataGridFile = {data_path}\n",
+            "forward.depthWeighting.type = 1\n",
+            "forward.depthWeighting.grav.power = 2.0\n",
+            "forward.matrixCompression.type = 0\n",
+            "inversion.nMajorIterations = 20\n",
+            "inversion.nMinorIterations = 40\n",
+            "inversion.modelDamping.grav.weight = 1e-7\n",
+            "forward.data.grav.useSyntheticModelForDataValues = 1\n",
+            f"forward.data.grav.syntheticModelFile = {synth}\n",
+        ])
+        res = solve_problem_joint_gravmag(
+            cfg, base_dir="/", verbose=False, compute_dtype=compute_dtype
+        )
+        m = np.asarray(res.models[GRAV].val).reshape(-1)
+        return np.corrcoef(m, true.reshape(-1))[0, 1]
+
+    # The fixture must actually be non-lattice, or this test silently
+    # stops covering the general per-cell path.
+    from tomofastx_tpu.io.model_io import read_model_grid
+
+    grid = read_model_grid(grid_path, nx, ny, nz)
+    assert detect_lattice(grid) is None
+
+    corr64 = run("f64", jnp.float64)
+    corr32q = run("f32quad", jnp.float32)  # far_field_quad defaults on
+    assert abs(corr32q - corr64) <= 1e-3, (
+        f"compensated-f32 deviates from the f64 anchor: "
+        f"{corr32q:.6f} vs {corr64:.6f}"
+    )

@@ -218,3 +218,92 @@ def test_stable_log_forms_match_naive_f64():
     np.testing.assert_array_equal(
         np.asarray(prism._log_R_plus(Rs, t, o2)), np.asarray(jnp.log(Rs + t))
     )
+
+
+def _far_cells(n=200, h=100.0, seed=0):
+    """Random cells at 5-100 cell-sizes distance from the origin."""
+    rng = np.random.default_rng(seed)
+    cx = rng.uniform(500, 10000, n) * rng.choice([-1, 1], n)
+    cy = rng.uniform(500, 10000, n) * rng.choice([-1, 1], n)
+    cz = rng.uniform(500, 10000, n)
+    return tuple(
+        jnp.asarray(a, jnp.float64)
+        for a in (cx - h / 2, cx + h / 2, cy - h / 2, cy + h / 2,
+                  cz - h / 2, cz + h / 2)
+    )
+
+
+def test_quadrature_matches_closed_forms_far_field():
+    """The 27-point Gauss-Legendre far-field kernels (the compensated-f32
+    build, round-3 verdict item 3) agree with the f64 closed forms to the
+    rule's truncation error on every physics family, signs included."""
+    args = _far_cells()
+    xd = yd = 0.0
+    zd = -0.1
+    pairs = [("gz", prism.gravi_z, prism.gravi_z_quad),
+             ("gzz", prism.gradi_zz, prism.gradi_zz_quad)]
+    for name, exact_fn, quad_fn in pairs:
+        exact = np.asarray(exact_fn(xd, yd, zd, *args))
+        quad = np.asarray(quad_fn(xd, yd, zd, *args))
+        np.testing.assert_allclose(quad, exact, rtol=2e-6, err_msg=name)
+    ex = prism.gradi_full(xd, yd, zd, *args)
+    qd = prism.gradi_full_quad(xd, yd, zd, *args)
+    for i, nm in enumerate(("xx", "yy", "zz", "xy", "yz", "zx")):
+        # xy-type components cross zero; bound the error by the tensor
+        # scale rather than per-element relative error.
+        scale = np.abs(np.asarray(ex[i])).max()
+        np.testing.assert_allclose(
+            np.asarray(qd[i]), np.asarray(ex[i]), atol=1e-6 * scale, rtol=1e-5,
+            err_msg=f"ftg_{nm}")
+    ex = prism.sharmbox(xd, yd, zd, *args)
+    qd = prism.magnetic_tensor_quad(xd, yd, zd, *args)
+    for r in range(3):
+        for c in range(3):
+            scale = np.abs(np.asarray(ex[r][c])).max()
+            np.testing.assert_allclose(
+                np.asarray(qd[r][c]), np.asarray(ex[r][c]),
+                atol=1e-6 * scale, rtol=1e-5, err_msg=f"mag_{r}{c}")
+
+
+def test_far_field_f32_closed_form_is_noise_quad_is_not():
+    """Documents WHY the compensated-f32 blend exists: in f32 the 8-corner
+    alternating sums amplify rounding by ~(R/h)^3 — at R/h ~ 100 the
+    closed-form g_z is orders-of-magnitude wrong while the f32 quadrature
+    stays at ~1e-5 relative (the bits never cancel)."""
+    args64 = _far_cells()
+    args32 = tuple(a.astype(jnp.float32) for a in args64)
+    xd = yd = jnp.float32(0.0)
+    zd = jnp.float32(-0.1)
+    exact = np.asarray(prism.gravi_z(0.0, 0.0, -0.1, *args64))
+    closed32 = np.asarray(prism.gravi_z(xd, yd, zd, *args32), np.float64)
+    quad32 = np.asarray(prism.gravi_z_quad(xd, yd, zd, *args32), np.float64)
+    rel_closed = np.abs(closed32 - exact) / np.abs(exact)
+    rel_quad = np.abs(quad32 - exact) / np.abs(exact)
+    assert rel_closed.max() > 1.0          # catastrophic (measured: ~4e+1)
+    assert rel_quad.max() < 5e-5           # measured: ~2.4e-6
+
+
+def test_forward_rows_blend_selects_by_distance():
+    """forward_rows(far_quad=True) must equal the closed form on near
+    cells and the quadrature on far cells, per the half-diagonal radius."""
+    from tomofastx_tpu.ops import sensitivity as sens
+
+    h = 100.0
+    # One near cell (2 half-diagonals) and one far cell (20).
+    d = h * math.sqrt(3.0) / 2.0
+    cents = [(2.0 * d, 0.0, h), (20.0 * d, 0.0, h)]
+    X1 = jnp.asarray([c[0] - h / 2 for c in cents], jnp.float32)
+    X2 = X1 + h
+    Y1 = jnp.asarray([c[1] - h / 2 for c in cents], jnp.float32)
+    Y2 = Y1 + h
+    Z1 = jnp.asarray([c[2] - h / 2 for c in cents], jnp.float32)
+    Z2 = Z1 + h
+    ga = (X1, X2, Y1, Y2, Z1, Z2)
+    args = ("grav", 1, 1, 1, (0.0, 0.0, 1.0), 0.0, False, ga,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-0.1))
+    blended = np.asarray(sens.forward_rows(*args, far_quad=True)).ravel()
+    closed = np.asarray(sens.forward_rows(*args)).ravel()
+    quad = np.asarray(sens._forward_rows_quad(
+        "grav", 1, 1, 1, (0.0, 0.0, 1.0), 0.0, ga,
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-0.1))).ravel()
+    assert blended[0] == closed[0] and blended[1] == quad[1]

@@ -118,6 +118,16 @@ class GravParams:
     # the reference's double-precision pipeline semantics
     # (sensitivity_gravmag.F90:237-272).
     f64_build_f32_compress: int = 0
+    # Compensated-f32 physics (1, default): when the kernel physics runs
+    # in f32, evaluate cells farther than prism.FAR_QUAD_RADIUS
+    # half-diagonals by 27-point Gauss-Legendre quadrature of the smooth
+    # point-source integrand instead of the closed form. The closed-form
+    # 8-corner alternating sums amplify f32 rounding by ~(R/h)^3 (the
+    # reference computes them in double for this reason,
+    # gravity_field.f90:41-126); the quadrature keeps every element at
+    # ~1e-5 relative error with no f64. 0 restores the raw-f32 closed
+    # forms. Ignored for f64-physics builds.
+    far_field_quad: int = 1
 
     @property
     def nelements_total(self) -> int:
@@ -525,6 +535,8 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         g.lattice_build = m.lattice_build = ival(val)
     elif K == "tpu.f64BuildF32Compress":
         g.f64_build_f32_compress = m.f64_build_f32_compress = ival(val)
+    elif K == "tpu.farFieldQuad":
+        g.far_field_quad = m.far_field_quad = ival(val)
     elif K == "tpu.kernelStoreDtype":
         v = sval(val)
         if v not in ("float32", "bfloat16"):

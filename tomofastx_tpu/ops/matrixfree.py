@@ -42,6 +42,10 @@ class _Physics:
     magv: Tuple[float, float, float]
     intensity: float
     handle_inside: bool
+    # Compensated-f32 blend (tpu.farFieldQuad): far cells by Gauss
+    # quadrature — the f32 closed forms are cancellation noise in the far
+    # field (see ops/prism.py). Set for f32 general per-cell operators.
+    far_quad: bool = False
 
 
 def _rows_for_point(phys: _Physics, grid6, x, y, z):
@@ -53,6 +57,7 @@ def _rows_for_point(phys: _Physics, grid6, x, y, z):
     return forward_rows(
         phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
         phys.intensity, phys.handle_inside, grid6, x, y, z,
+        far_quad=phys.far_quad,
     )
 
 
@@ -470,6 +475,13 @@ def make_matrixfree_kernel(
     if par.compression_type > 0:
         raise ValueError("matrix-free mode requires forward.matrixCompression.type = 0")
 
+    # Compensated-f32 physics for the general per-cell operator (the
+    # lattice/BTTB fast paths below have their own precision stories: the
+    # BTTB table is f64-built, and the corner-lattice operator is only
+    # selected where its cancellation behavior is pinned by tests).
+    far_quad = bool(
+        getattr(par, "far_field_quad", 1) and jnp.dtype(dtype) == jnp.float32
+    )
     if isinstance(par, MagParams):
         from tomofastx_tpu.ops.sensitivity import observation_inside_grid
 
@@ -478,12 +490,13 @@ def make_matrixfree_kernel(
             ndc=par.ndata_components, magv=prism.dircos(par.mi, par.md, par.theta),
             intensity=par.intensity,
             handle_inside=observation_inside_grid(grid, data),
+            far_quad=far_quad,
         )
     else:
         phys = _Physics(
             problem="grav", data_type=par.data_type, nmc=1,
             ndc=par.ndata_components, magv=(0.0, 0.0, 1.0), intensity=0.0,
-            handle_inside=False,
+            handle_inside=False, far_quad=far_quad,
         )
 
     # FFT/BTTB fast path: exact physics (f64-built offset table) at

@@ -474,6 +474,156 @@ def magprism_row(
     )
 
 
+# ---------------------------------------------------------------------------
+# Far-field Gauss-Legendre quadrature (the compensated-f32 build).
+#
+# The closed-form prism kernels are 8-corner sign-alternating sums whose
+# cancellation amplifies rounding by ~(R/h)^3 (the alternating sum is a third
+# difference of the corner antiderivative): at R/h = 100 an f32 evaluation
+# has lost ALL significant bits. The reference computes them in double for
+# exactly this reason (gravity_field.f90:41-126). Kahan/two-sum over the 8
+# terms cannot help — the bits are lost when each corner term is ROUNDED,
+# not when the terms are summed. The stable f32 reformulation is to stop
+# differencing: for a far cell, evaluate the smooth point-source integrand
+# directly with a fixed Gauss-Legendre rule. A 3x3x3 rule's truncation
+# error on the 1/r^2..1/r^3-type kernels is O((h/2R)^6) — at the blend
+# radius R = 4 half-diagonals both the f32 closed form (~(R/h)^3 * ulp)
+# and the quadrature (~1e-2 * (h/R)^6) sit at ~1e-5 relative, and the
+# quadrature error FALLS with distance while the closed form's grows.
+# ---------------------------------------------------------------------------
+
+# 3-point Gauss-Legendre nodes/weights on [-1, 1].
+_GL3 = (
+    (-math.sqrt(3.0 / 5.0), 5.0 / 9.0),
+    (0.0, 8.0 / 9.0),
+    (math.sqrt(3.0 / 5.0), 5.0 / 9.0),
+)
+
+# Blend radius in units of the cell half-diagonal: cells with center
+# distance R > FAR_QUAD_RADIUS * d use the quadrature, nearer cells the
+# closed form (error crossover analysis above).
+FAR_QUAD_RADIUS = 4.0
+
+
+def _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, point_fn, n_out):
+    """sum_i w_i * point_fn(source_i - obs) * V/8 over a 3^3 GL rule.
+
+    point_fn maps relative source coordinates (x, y, z) = (source - obs)
+    to a tuple of n_out integrand arrays; returns a tuple of per-cell
+    integrals. Statically unrolled (27 fused FMA/rsqrt passes, no
+    transcendentals) — XLA fuses this into one elementwise loop."""
+    cx, hx = 0.5 * (X1 + X2), 0.5 * (X2 - X1)
+    cy, hy = 0.5 * (Y1 + Y2), 0.5 * (Y2 - Y1)
+    cz, hz = 0.5 * (Z1 + Z2), 0.5 * (Z2 - Z1)
+    acc = [0.0] * n_out
+    for u, wu in _GL3:
+        for v, wv in _GL3:
+            for w, ww in _GL3:
+                x = cx + u * hx - xd
+                y = cy + v * hy - yd
+                z = cz + w * hz - zd
+                vals = point_fn(x, y, z)
+                wgt = wu * wv * ww
+                for i in range(n_out):
+                    acc[i] = acc[i] + wgt * vals[i]
+    vol8 = hx * hy * hz  # cell volume / 8 (GL weights sum to 2 per axis)
+    return tuple(a * vol8 for a in acc)
+
+
+def gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+    """Far-field g_z by 27-point quadrature of the point-mass integrand
+    g_z = G (z_s - z_o)/r^3 (positive toward a source below in Z-down
+    space, matching gravi_z; verified against the f64 closed form in
+    test_prism.py)."""
+
+    def f(x, y, z):
+        r2 = x * x + y * y + z * z
+        inv_r3 = jax.lax.rsqrt(r2) / r2
+        return (z * inv_r3,)
+
+    (gz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1)
+    return G_GRAV * gz
+
+
+def gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+    """Far-field Gzz by quadrature of G (3 z^2 - r^2)/r^5 (the second
+    vertical derivative of the Newtonian potential; sign verified against
+    gradi_zz's f64 closed form)."""
+
+    def f(x, y, z):
+        r2 = x * x + y * y + z * z
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r5 = inv_r / (r2 * r2)
+        return ((3.0 * z * z - r2) * inv_r5,)
+
+    (gzz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1)
+    return G_GRAV * gzz
+
+
+def gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+    """Far-field FTG tensor (Gxx, Gyy, Gzz, Gxy, Gyz, Gzx) by quadrature
+    of the Newtonian second-derivative tensor (3 r_i r_j - r^2 d_ij)/r^5;
+    component signs match gradi_full's conventions (verified in tests)."""
+
+    def f(x, y, z):
+        r2 = x * x + y * y + z * z
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r5 = inv_r / (r2 * r2)
+        return (
+            (3.0 * x * x - r2) * inv_r5,
+            (3.0 * y * y - r2) * inv_r5,
+            (3.0 * z * z - r2) * inv_r5,
+            3.0 * x * y * inv_r5,
+            3.0 * y * z * inv_r5,
+            3.0 * x * z * inv_r5,
+        )
+
+    xx, yy, zz, xy, yz, zx = _quad_accumulate(
+        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6
+    )
+    return tuple(
+        G_GRAV * t for t in (xx, yy, zz, xy, yz, zx)
+    )
+
+
+def magnetic_tensor_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+    """Far-field magnetic tensor rows by quadrature of the dipole kernel
+    (3 r_i r_j - r^2 d_ij)/r^5 (Sharma 1966's closed form is exactly its
+    prism integral); returns the same ((txx,txy,txz),(tyx,tyy,tyz),
+    (tzx,tzy,tzz)) layout as sharmbox, signs verified in tests."""
+
+    def f(x, y, z):
+        r2 = x * x + y * y + z * z
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r5 = inv_r / (r2 * r2)
+        return (
+            (3.0 * x * x - r2) * inv_r5,
+            (3.0 * y * y - r2) * inv_r5,
+            (3.0 * z * z - r2) * inv_r5,
+            3.0 * x * y * inv_r5,
+            3.0 * y * z * inv_r5,
+            3.0 * x * z * inv_r5,
+        )
+
+    xx, yy, zz, xy, yz, zx = _quad_accumulate(
+        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6
+    )
+    return (xx, xy, zx), (xy, yy, yz), (zx, yz, zz)
+
+
+def far_mask(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, radius=None):
+    """Per-cell bool: center distance > radius * half-diagonal (the
+    compensated-f32 blend decision)."""
+    if radius is None:
+        radius = FAR_QUAD_RADIUS
+    cx, hx = 0.5 * (X1 + X2), 0.5 * (X2 - X1)
+    cy, hy = 0.5 * (Y1 + Y2), 0.5 * (Y2 - Y1)
+    cz, hz = 0.5 * (Z1 + Z2), 0.5 * (Z2 - Z1)
+    r2 = (cx - xd) ** 2 + (cy - yd) ** 2 + (cz - zd) ** 2
+    d2 = hx * hx + hy * hy + hz * hz
+    return r2 > (radius * radius) * d2
+
+
 def validate_finite(name: str, arr):
     """Host-side guard replacing the reference's in-loop aborts on
     boundary-touching observation points (gravity_field.f90:99-107,

@@ -231,30 +231,63 @@ class SensitKernel:
 
 def forward_rows(
     problem: str, data_type: int, nmc: int, ndc: int, magv, intensity,
-    handle_inside: bool, grid_arrays, xd, yd, zd,
+    handle_inside: bool, grid_arrays, xd, yd, zd, far_quad: bool = False,
 ):
     """Raw physics rows for one observation point →
     (N, nmodel_components, ndata_components). The single physics dispatch
     shared by the stored-kernel builder and the matrix-free operator
-    (reference: sensitivity_gravmag.F90:193-219)."""
+    (reference: sensitivity_gravmag.F90:193-219).
+
+    far_quad=True enables the compensated-f32 blend: cells farther than
+    prism.FAR_QUAD_RADIUS half-diagonals are evaluated by 27-point
+    Gauss-Legendre quadrature of the smooth point-source integrand — the
+    closed-form 8-corner alternating sums amplify f32 rounding by
+    ~(R/h)^3 and are pure noise in the far field (measured: up to 3e+3
+    relative error at R/h ~ 100, vs ~1e-5 for the quadrature). Meant for
+    f32 physics; the f64 closed forms carry enough mantissa everywhere."""
     X1, X2, Y1, Y2, Z1, Z2 = grid_arrays
     if problem == "magn":
-        return prism.magprism_row(
+        rows = prism.magprism_row(
             xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, magv, intensity,
             nmodel_components=nmc, ndata_components=ndc,
             handle_inside=handle_inside,
         )
-    # Gravity / gradiometry.
-    if data_type == 1:
-        line = prism.gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
-        return line[:, None, None]
-    if ndc == 1:
-        line = prism.gradi_zz(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
-        return line[:, None, None]
-    if ndc != 6:
+    elif data_type == 1:
+        rows = prism.gravi_z(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)[:, None, None]
+    elif ndc == 1:
+        rows = prism.gradi_zz(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)[:, None, None]
+    elif ndc != 6:
         # Reference: sensitivity_gravmag.F90:211.
         raise ValueError("Wrong number of gravity gradiometry data components! (use 1 or 6)")
-    comps = prism.gradi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+    else:
+        comps = prism.gradi_full(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+        rows = jnp.stack(comps, axis=-1)[:, None, :]
+    if far_quad:
+        quad = _forward_rows_quad(
+            problem, data_type, nmc, ndc, magv, intensity, grid_arrays,
+            xd, yd, zd,
+        )
+        mask = prism.far_mask(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
+        rows = jnp.where(mask[:, None, None], quad, rows)
+    return rows
+
+
+def _forward_rows_quad(
+    problem: str, data_type: int, nmc: int, ndc: int, magv, intensity,
+    grid_arrays, xd, yd, zd,
+):
+    """Far-field quadrature counterpart of forward_rows (same shapes)."""
+    X1, X2, Y1, Y2, Z1, Z2 = grid_arrays
+    if problem == "magn":
+        tx, ty, tz = prism.magnetic_tensor_quad(
+            xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2
+        )
+        return prism.combine_mag_tensor(tx, ty, tz, magv, intensity, nmc, ndc)
+    if data_type == 1:
+        return prism.gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)[:, None, None]
+    if ndc == 1:
+        return prism.gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)[:, None, None]
+    comps = prism.gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2)
     return jnp.stack(comps, axis=-1)[:, None, :]
 
 
@@ -490,6 +523,14 @@ def compute_sensitivity(
     )
 
     f32_pipeline = bool(getattr(par, "f64_build_f32_compress", 0))
+    # Compensated-f32 physics (tpu.farFieldQuad, default on): blend in
+    # far-field quadrature whenever the closed forms run in f32 — their
+    # 8-corner cancellation makes far elements pure noise in f32 (the
+    # round-3 precision study's 0.724-vs-0.8142 truth-corr collapse).
+    far_quad = bool(
+        getattr(par, "far_field_quad", 1)
+        and jnp.dtype(compute_dtype) == jnp.float32
+    )
     K = min(near_field_f64, N) if near_field_f64 > 0 else 0
     if K > 0:
         grid_arrays64 = tuple(
@@ -516,7 +557,7 @@ def compute_sensitivity(
             else:
                 rows = forward_rows(
                     problem, par.data_type, nmc, ndc, magv, intensity,
-                    handle_inside, ga, x, y, z,
+                    handle_inside, ga, x, y, z, far_quad=far_quad,
                 )
             if K > 0:
                 # f64 patch of the K nearest cells (cancellation zone).
