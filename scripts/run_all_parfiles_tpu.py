@@ -1,11 +1,19 @@
 """Run every runnable shipped parfile end-to-end on the REAL TPU and
-record a TPU section in RESULTS.md.
+record a TPU section in RESULTS.md — with a FAIL-LOUD quality bound per
+parfile (round-3 verdict item 5: a silent TPU-path quality regression must
+fail a check, not just shift a number).
 
-Production configuration: f32 solve + f64 kernel build (the validated
-precision policy), fused on-device major loop. Walls are end-to-end
-process-internal (parse -> build -> invert -> outputs), cold-cache compile
-included in the first run of each distinct program shape; the persistent
-compile cache (repo-committed) makes reruns warm.
+Production configuration (round 4): f32 solve + compensated-f32 kernel
+build (tpu.farFieldQuad far-field quadrature — reproduces the f64-build
+anchor exactly on Mansfield: truth-corr 0.814161, CPU A/B), fused
+on-device major loop. PROD_MODE=f64pipe selects the round-3 production
+config instead (f64 physics + f32 compression pipeline).
+
+Quality bound: each parfile's final data cost must be <= max(RATIO_BOUND *
+cpu_final, F32_SOLVE_FLOOR) where cpu_final is the CPU f64 full-run final
+(RESULTS.md CPU matrix) and F32_SOLVE_FLOOR covers costs that sit at the
+f32 solve's noise floor (the CPU reference floor 9.3e-11 is below f32
+reach regardless of build quality). Violations exit nonzero.
 
 Usage (ONE TPU process at a time):  python scripts/run_all_parfiles_tpu.py
 """
@@ -35,35 +43,79 @@ from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from run_all_parfiles import PARFILES, REF
 
+# CPU f64 full-run final data costs (RESULTS.md CPU matrix) — the quality
+# reference each TPU run is bounded against. (grav, magn); 0.0 = problem off.
+CPU_FINALS = {
+    "parfiles/Parfile_mansf_slice.txt": (9.340e-11, 0.0),
+    "parfiles/hamersley/Parfile_hamersley_grav.txt": (4.326e-03, 0.0),
+    "parfiles/hamersley/Parfile_hamersley_mag.txt": (0.0, 1.137e-02),
+    "parfiles/hamersley/Parfile_hamersley_xgrad_joint.txt": (1.837e-02, 2.876e-03),
+    "parfiles/noddy/Parfile_Noddy_grav_ellipsoid_simple.txt": (1.362e-08, 0.0),
+    "parfiles/noddy/Parfile_Noddy_grav_ellipsoid_simple_petro.txt": (7.168e-05, 0.0),
+    "parfiles/noddy/Parfile_Noddy_grav_ellipsoid_fault.txt": (4.124e-08, 0.0),
+    "parfiles/noddy/Parfile_Noddy_grav_ellipsoid_fault_petro.txt": (9.039e-03, 0.0),
+    "parfiles/noddy/Parfile_Noddy_mag_ellipsoid_simple.txt": (0.0, 1.747e-08),
+    "parfiles/noddy/Parfile_Noddy_mag_ellipsoid_simple_petro.txt": (0.0, 2.334e-06),
+    "parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault.txt": (0.0, 4.336e-08),
+    "parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault_petro.txt": (0.0, 6.832e-06),
+    "parfiles/noddy/Parfile_Noddy_mag_ellipsoid_alter.txt": (0.0, 3.748e-08),
+}
+RATIO_BOUND = 3.0
+# f32 LSQR solves bottom out around ~1e-7 relative misfit independent of
+# build quality (measured fused Mansfield floor 1.6e-07); CPU f64 floors
+# below that are unreachable at f32 solve precision.
+F32_SOLVE_FLOOR = 5e-7
 
-def main(out_root):
+
+def check_quality(rel, cost_grav, cost_magn):
+    """Returns (ok, ratios, bound_desc) for the fail-loud gate."""
+    cpu = CPU_FINALS.get(rel)
+    if cpu is None:
+        return True, (None, None), "no CPU reference"
+    msgs, ratios, ok = [], [], True
+    for name, got, ref in (("grav", cost_grav, cpu[0]), ("magn", cost_magn, cpu[1])):
+        if ref == 0.0:
+            ratios.append(None)
+            continue
+        bound = max(RATIO_BOUND * ref, F32_SOLVE_FLOOR)
+        ratios.append(round(got / ref, 3) if ref > 0 else None)
+        if got > bound:
+            ok = False
+            msgs.append(f"{name} {got:.3e} > bound {bound:.3e} (CPU {ref:.3e})")
+    return ok, tuple(ratios), "; ".join(msgs) if msgs else "within bounds"
+
+
+def main(out_root, mode):
     rows = []
     for rel in PARFILES:
         name = os.path.basename(rel).replace("Parfile_", "").replace(".txt", "")
         cfg = read_parfile(os.path.join(REF, rel))
         cfg.path_output = os.path.join(out_root, name) + "/"
+        kwargs = dict(solve_dtype=jnp.float32, fused_chunk=60)
+        if mode == "f64pipe":
+            cfg.grav.f64_build_f32_compress = 1
+            cfg.magn.f64_build_f32_compress = 1
+            kwargs["compute_dtype"] = jnp.float64
+        else:  # f32quad: the compensated-f32 production build
+            kwargs["compute_dtype"] = jnp.float32
         t0 = time.time()
         try:
             res = solve_problem_joint_gravmag(
-                cfg, base_dir=REF, verbose=False,
-                solve_dtype=jnp.float32, compute_dtype=jnp.float64,
-                fused_chunk=60,
-                # Mixed-precision build (f32 physics + f64 K-nearest
-                # patch): the full-f64 build is software-emulated on TPU
-                # (~0.2 rows/s at 57k cells incl. its compile) while the
-                # mixed build holds the validated quality anchor
-                # (CLAUDE.md precision policy).
-                near_field_f64=1024,
+                cfg, base_dir=REF, verbose=False, **kwargs
             )
             dt = time.time() - t0
+            ok, ratios, desc = check_quality(
+                rel, float(res.cost_data[0]), float(res.cost_data[1])
+            )
             row = {
                 "parfile": rel,
                 "grid": f"{cfg.grav.nx}x{cfg.grav.ny}x{cfg.grav.nz}",
                 "iters": cfg.inversion.ninversions,
-                "cost_grav": res.cost_data[0],
-                "cost_magn": res.cost_data[1],
+                "cost_grav": float(res.cost_data[0]),
+                "cost_magn": float(res.cost_data[1]),
+                "ratio_vs_cpu": ratios,
                 "wall_s": round(dt, 1),
-                "status": "OK",
+                "status": "OK" if ok else f"QUALITY FAIL: {desc}",
             }
         except Exception as e:  # record failures honestly
             row = {
@@ -76,30 +128,47 @@ def main(out_root):
     return rows
 
 
-def rewrite_results(rows):
+def rewrite_results(rows, mode):
     """Replace (or insert) the '## TPU parfile matrix' section of
     RESULTS.md, preserving everything else."""
     path = "/root/repo/RESULTS.md"
     marker = "## TPU parfile matrix"
     text = open(path).read()
+    build_desc = (
+        "compensated-f32 kernel build (tpu.farFieldQuad quadrature blend\n"
+        "— reproduces the f64-build truth-corr anchor, see BASELINE.md)"
+        if mode == "f32quad"
+        else "f64-physics build with the f32 compression pipeline\n"
+        "(tpu.f64BuildF32Compress)"
+    )
     section = (
         f"{marker}\n\n"
-        "Real TPU (one chip over the axon tunnel), f32 solve + mixed\n"
-        "kernel build (--fast-build 1024: f32 physics + f64 near-field\n"
-        "patch), fused on-device major loop (--fused 60), full shipped\n"
-        "iteration counts. Walls include cold-cache XLA compiles for shapes\n"
-        "not already in the persistent cache.\n\n"
-        "| Parfile | grid | major iters | final grav cost | final mag cost | wall |\n"
-        "|---|---|---|---|---|---|\n"
+        f"Real TPU (one chip over the axon tunnel), f32 solve + {build_desc},\n"
+        "fused on-device major loop (--fused 60), full shipped iteration\n"
+        "counts. Walls include cold-cache XLA compiles for shapes not\n"
+        "already in the persistent cache. 'ratio' = final cost / CPU-f64\n"
+        "full-run final (RESULTS.md CPU matrix); the runner FAILS unless\n"
+        f"cost <= max({RATIO_BOUND:g} x CPU, {F32_SOLVE_FLOOR:g}) — the\n"
+        "floor covers costs at the f32 solve's noise floor.\n\n"
+        "| Parfile | grid | major iters | final grav cost | final mag cost "
+        "| ratio (g/m) | wall |\n"
+        "|---|---|---|---|---|---|---|\n"
     )
     for r in rows:
-        if r.get("status") == "OK":
+        if r.get("status", "").startswith("FAIL"):
             section += (
-                f"| {r['parfile']} | {r['grid']} | {r['iters']} "
-                f"| {r['cost_grav']:.3e} | {r['cost_magn']:.3e} | {r['wall_s']}s |\n"
+                f"| {r['parfile']} | — | — | — | — | — "
+                f"| {r['status']} ({r['wall_s']}s) |\n"
             )
-        else:
-            section += f"| {r['parfile']} | — | — | — | — | {r['status']} ({r['wall_s']}s) |\n"
+            continue
+        rg, rm = r.get("ratio_vs_cpu", (None, None))
+        ratio = f"{rg if rg is not None else '—'} / {rm if rm is not None else '—'}"
+        flag = "" if r["status"] == "OK" else " **" + r["status"] + "**"
+        section += (
+            f"| {r['parfile']} | {r['grid']} | {r['iters']} "
+            f"| {r['cost_grav']:.3e} | {r['cost_magn']:.3e} | {ratio} "
+            f"| {r['wall_s']}s{flag} |\n"
+        )
 
     start = text.find(marker)
     if start >= 0:
@@ -118,8 +187,17 @@ def rewrite_results(rows):
 
 if __name__ == "__main__":
     out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/run_all_tpu"
+    mode = os.environ.get("PROD_MODE", "f32quad")
+    assert mode in ("f32quad", "f64pipe"), mode
     assert jax.default_backend() not in ("cpu",), (
         "this script must run on the TPU backend (do not set JAX_PLATFORMS=cpu)"
     )
-    rows = main(out_root)
-    rewrite_results(rows)
+    rows = main(out_root, mode)
+    rewrite_results(rows, mode)
+    bad = [r for r in rows if r.get("status") != "OK"]
+    if bad:
+        print(f"{len(bad)} parfile(s) FAILED the quality/run gate:", file=sys.stderr)
+        for r in bad:
+            print(f"  {r['parfile']}: {r['status']}", file=sys.stderr)
+        sys.exit(1)
+    print("all parfiles within quality bounds")

@@ -182,11 +182,13 @@ def test_mansfield_truth_correlation_fast_build(tmp_path):
         f"{REF}/data/gravmag/mansf_slice/true_model_grav_3litho-values.txt", 8192, 1
     )
     corr = np.corrcoef(res.models[0].val.ravel(), true_vals.ravel())[0, 1]
-    # Measured anchor 0.806 (vs 0.8142 full-f64 build; an unpatched f32
-    # build collapses to 0.724) — the mixed mode's inherent gap, identical
-    # for the f64 and f32 compression pipelines (A/B in BASELINE.md).
-    assert corr >= 0.80, f"fast-build truth correlation regressed: {corr:.4f}"
-    assert res.cost_data[0] < 1e-4
+    # Anchor history: 0.806 through round 3 (vs 0.8142 full-f64) — the
+    # "mixed mode's inherent gap" was far-field f32 cancellation noise.
+    # With the round-4 far-field quadrature blend (tpu.farFieldQuad) the
+    # mixed build reproduces the f64 anchor exactly: corr 0.814161, cost
+    # floor 9.34e-11.
+    assert corr >= 0.813, f"fast-build truth correlation regressed: {corr:.4f}"
+    assert res.cost_data[0] < 1e-9
 
 
 def test_refine_forward_bf16_recovers_quality(tmp_path):
