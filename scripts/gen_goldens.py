@@ -51,6 +51,12 @@ FIXTURES = [
     ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault.txt", 2),
     ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_fault_petro.txt", 2),
     ("parfiles/noddy/Parfile_Noddy_mag_ellipsoid_alter.txt", 2),
+    # Variant fixture: the multiple-prior-models loop (reference:
+    # problem_joint_gravmag.F90:374-445 — per-prior-model reset of
+    # models/duals, per-model output subdirs). Keyed with a '#tag' suffix;
+    # the 'overrides' dict is applied to cfg.inversion by the test.
+    ("parfiles/Parfile_mansf_slice.txt#priors2", 2,
+     {"number_prior_models": 2}),
 ]
 
 
@@ -66,14 +72,22 @@ def model_checksums(val):
     }
 
 
-def run_one(parfile, niter):
+def run_one(parfile, niter, overrides=None):
     from tomofastx_tpu.config.parfile import read_parfile
     from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
 
-    cfg = read_parfile(os.path.join(REF, parfile))
+    cfg = read_parfile(os.path.join(REF, parfile.split("#")[0]))
     tmp = tempfile.mkdtemp()
     cfg.path_output = tmp + "/"
     cfg.inversion.ninversions = niter
+    for k, v in (overrides or {}).items():
+        # Apply wherever the field lives (some knobs are per-problem).
+        hit = False
+        for obj in (cfg.inversion, cfg.grav, cfg.magn):
+            if hasattr(obj, k):
+                setattr(obj, k, v)
+                hit = True
+        assert hit, k
     res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
 
     costs_rows = []
@@ -85,6 +99,7 @@ def run_one(parfile, niter):
 
     return {
         "ninversions": niter,
+        "overrides": overrides or {},
         "cost_data": list(res.cost_data),
         "cost_model": list(res.cost_model),
         "costs_rows": costs_rows,
@@ -94,9 +109,11 @@ def run_one(parfile, niter):
 
 def main():
     goldens = {}
-    for parfile, niter in FIXTURES:
+    for fix in FIXTURES:
+        parfile, niter = fix[0], fix[1]
+        overrides = fix[2] if len(fix) > 2 else None
         print(f"[goldens] {parfile} ({niter} iters)...", flush=True)
-        goldens[parfile] = run_one(parfile, niter)
+        goldens[parfile] = run_one(parfile, niter, overrides)
     out = os.path.join(REPO, "tests", "goldens.json")
     with open(out, "w") as f:
         json.dump(goldens, f, indent=1)

@@ -319,3 +319,66 @@ def test_cross_gradient_vector_field_mode():
     assert abs(Ax @ u - (x1 @ np.asarray(g1).ravel() + x2 @ np.asarray(g2).ravel())) < 1e-9 * (
         np.linalg.norm(Ax) * np.linalg.norm(u) + 1
     )
+
+
+def test_clustering_2d_derivative_finite_difference():
+    """The Mathematica-derived 2-D mixture derivatives (coef1/coef2 in
+    gaussian_mixture, clustering.F90:514-649) against central finite
+    differences of the mixture value wrt BOTH model values — full 2-D
+    case with correlated covariance and per-cell weights."""
+    C = 3
+    mu = jnp.asarray([[0.2, 1.5, -0.7], [2.0, -1.0, 0.4]])
+    sigma = jnp.asarray([[1.2, 0.6, 0.9], [0.8, 1.4, 1.1], [0.4, 0.3, 0.5]])
+    cellw = jnp.asarray(RNG.uniform(0.2, 1.0, size=(N, C)))
+    v1 = jnp.asarray(RNG.normal(size=N))
+    v2 = jnp.asarray(RNG.normal(size=N))
+    _, d = ops.gaussian_mixture(v1, v2, mu, sigma, cellw, (1.0, 1.0))
+
+    h = 1e-6
+    gp1, _ = ops.gaussian_mixture(v1 + h, v2, mu, sigma, cellw, (1.0, 1.0))
+    gm1, _ = ops.gaussian_mixture(v1 - h, v2, mu, sigma, cellw, (1.0, 1.0))
+    gp2, _ = ops.gaussian_mixture(v1, v2 + h, mu, sigma, cellw, (1.0, 1.0))
+    gm2, _ = ops.gaussian_mixture(v1, v2 - h, mu, sigma, cellw, (1.0, 1.0))
+    fd1 = np.asarray(gp1 - gm1) / (2 * h)
+    fd2 = np.asarray(gp2 - gm2) / (2 * h)
+    np.testing.assert_allclose(np.asarray(d)[0], fd1, rtol=2e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d)[1], fd2, rtol=2e-6, atol=1e-12)
+
+
+def test_clustering_log_mode_derivative_and_rhs():
+    """Log optimization mode (clustering_opt_type = 2): the assembled row
+    coefficient must be the exact derivative of the log cost
+    -d/dm log(g) = -g'/g, and the RHS must be
+    -w (log(g_max) - log(g)) (reference: clustering.F90:457-508 log
+    branch) — checked against finite differences of -log(gauss) and a
+    direct transcription (round-3 verdict item 9)."""
+    C = 2
+    mu = jnp.asarray([[0.5, -1.0], [1.0, 0.3]])
+    sigma = jnp.asarray([[1.1, 0.7], [0.9, 1.3], [0.2, 0.4]])
+    cellw = jnp.asarray(RNG.uniform(0.3, 1.0, size=(N, C)))
+    v1 = jnp.asarray(RNG.normal(size=N))
+    v2 = jnp.asarray(RNG.normal(size=N))
+    cw1 = jnp.asarray(RNG.uniform(0.5, 2.0, size=N))
+    cw2 = jnp.ones(N)
+    gmax = jnp.asarray(RNG.uniform(0.2, 0.5, size=N))
+    wg = (0.8, 0.6)
+
+    op = ops.make_clustering(v1, v2, cw1, cw2, wg, mu, sigma, cellw, gmax,
+                             opt_type=2, problem=0)
+
+    def neglog(a, b):
+        g, _ = ops.gaussian_mixture(a, b, mu, sigma, cellw, (1.0, 1.0))
+        return -np.log(np.asarray(g))
+
+    h = 1e-7
+    fd = (neglog(v1 + h, v2) - neglog(v1 - h, v2)) / (2 * h)
+    # dcoef = w * cw * (-g'/g) for problem 0.
+    np.testing.assert_allclose(
+        np.asarray(op.dcoef), wg[0] * np.asarray(cw1) * fd, rtol=5e-6
+    )
+    g, _ = ops.gaussian_mixture(v1, v2, mu, sigma, cellw, (1.0, 1.0))
+    expect_rhs = -wg[0] * (-np.log(np.asarray(g)) + np.log(np.asarray(gmax)))
+    np.testing.assert_allclose(np.asarray(op.rhs), expect_rhs, rtol=1e-10)
+    np.testing.assert_allclose(
+        float(op.cost), float(np.sum(expect_rhs**2)), rtol=1e-10
+    )

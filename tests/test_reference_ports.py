@@ -247,3 +247,61 @@ def test_wavelet_inverse_identity_port(wt):
     np.testing.assert_allclose(np.diag(Ai), 1.0, rtol=1e-12)
     off = Ai - np.diag(np.diag(Ai))
     assert np.max(np.abs(off)) < 1.0e-15
+
+
+def test_distance_weighting_type2_scalar_oracle():
+    """Depth-weighting type 2 (Li & Oldenburg 2000 Eq. 19) against a
+    LITERAL scalar transcription of the reference algorithm
+    (weights_gravmag.f90:81-138 + the sqrt(V)/normalize/invert epilogue
+    at 170-195) on an IRREGULAR grid — per-cell random sizes, so every
+    dhx/dhy/dhz and dV differs per cell (round-3 verdict item 9)."""
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops import sensitivity as sens
+
+    rng = np.random.default_rng(7)
+    N, nd = 240, 17
+    # Irregular cells: random origins in a 2 km box, random sizes.
+    ox = rng.uniform(0, 2000, N)
+    oy = rng.uniform(0, 2000, N)
+    oz = rng.uniform(10, 800, N)
+    hx = rng.uniform(40, 160, N)
+    hy = rng.uniform(40, 160, N)
+    hz = rng.uniform(20, 90, N)
+    grid = Grid(nx=N, ny=1, nz=1, X1=ox, X2=ox + hx, Y1=oy, Y2=oy + hy,
+                Z1=oz, Z2=oz + hz)
+    data = SurveyData(ndata=nd, ncomponents=1)
+    data.X = rng.uniform(0, 2000, nd)
+    data.Y = rng.uniform(0, 2000, nd)
+    data.Z = np.full(nd, -1.0)
+
+    power, beta = 3.0, 1.0
+    par = GravParams(nx=N, ny=1, nz=1, ndata=nd, depth_weighting_type=2,
+                     depth_weighting_power=power, depth_weighting_beta=beta)
+    got = np.asarray(sens.calculate_depth_weight(par, grid, data, jnp.float64))
+
+    # --- literal scalar oracle (double, plain Python loops) ---
+    R0, dfactor = 0.1, 0.25
+    w = np.zeros(N)
+    for p in range(N):
+        dVj = hx[p] * hy[p] * hz[p]
+        dhx, dhy, dhz = dfactor * hx[p], dfactor * hy[p], dfactor * hz[p]
+        wr = 0.0
+        for j in range(nd):
+            dX = [(ox[p] + dhx - data.X[j]) ** 2, (ox[p] + hx[p] - dhx - data.X[j]) ** 2]
+            dY = [(oy[p] + dhy - data.Y[j]) ** 2, (oy[p] + hy[p] - dhy - data.Y[j]) ** 2]
+            dZ = [(oz[p] + dhz - data.Z[j]) ** 2, (oz[p] + hz[p] - dhz - data.Z[j]) ** 2]
+            integral = 0.0
+            for ii in range(2):
+                for jj in range(2):
+                    for kk in range(2):
+                        R = np.sqrt(dX[ii] + dY[jj] + dZ[kk])
+                        integral += 1.0 / (R + R0) ** power
+            wr += (integral * dVj / 8.0) ** 2
+        w[p] = (1.0 / np.sqrt(dVj)) * wr ** (beta / 4.0)
+    w = w * np.sqrt(hx * hy * hz)
+    w = w / w.max()
+    expect = 1.0 / w
+
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
