@@ -118,3 +118,38 @@ def test_cli_missing_parfile_errors(capsys):
 def test_cli_requires_parfile():
     with pytest.raises(SystemExit):
         cli.main(["--quiet"])
+
+
+def test_cli_build_precision_single(tmp_path, capsys):
+    """--build-precision single runs the compensated-f32 build end-to-end
+    (far-field quadrature on by default) and still converges."""
+    import os
+
+    from tomofastx_tpu import cli
+
+    out = tmp_path / "out"
+    parfile = tmp_path / "Parfile.txt"
+    parfile.write_text(
+        "global.outputFolderPath = " + str(out) + "/\n"
+        "modelGrid.size = 13 133 33\n"
+        "modelGrid.grav.file = data/gravmag/hamersley/grav_grid.txt\n"
+        "forward.data.grav.nData = 113\n"
+        "forward.data.grav.dataGridFile = "
+        "data/gravmag/hamersley/grav_observed_data.txt\n"
+        "forward.depthWeighting.type = 1\n"
+        "forward.depthWeighting.grav.power = 2.0\n"
+        "inversion.nMajorIterations = 2\n"
+        "inversion.nMinorIterations = 30\n"
+        "inversion.modelDamping.grav.weight = 1e-7\n"
+    )
+    rc = cli.main([
+        "-p", str(parfile), "--base-dir", "/root/reference",
+        "--build-precision", "single", "--platform", "cpu", "-q",
+    ])
+    assert rc == 0
+    assert os.path.exists(out / "costs.txt")
+    rows = [
+        line for line in open(out / "costs.txt") if not line.startswith("#")
+    ]
+    final_cost = float(rows[-1].split()[1])
+    assert final_cost < 0.05

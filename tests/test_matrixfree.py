@@ -561,3 +561,62 @@ def test_f64_build_batch_auto_cap():
     # Monotone non-increasing in N.
     caps = [cap(n) for n in (1, 10_000, 100_000, 1_000_000, 10_000_000)]
     assert caps == sorted(caps, reverse=True)
+
+
+def test_lattice_f32_far_quad_blend(tmp_path):
+    """The f32 corner-lattice operator inherits the closed forms'
+    ~(R/h)^3 far-field cancellation noise; with the compensated blend
+    (far_quad, round 4) its matvec must track the f64 exact operator to
+    ~1e-5 while the unblended f32 operator is orders worse on an
+    elongated grid."""
+    import dataclasses
+
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+
+    nx, ny, nz = 96, 4, 4
+    n = nx * ny * nz
+    h = 100.0
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+
+    grid = Grid(nx=nx, ny=ny, nz=nz, X1=i * h, X2=(i + 1) * h,
+                Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+    nd = 8
+    data = SurveyData(ndata=nd, ncomponents=1)
+    # Observations clustered over one end: most cells are far field.
+    data.X = (np.arange(nd) + 0.5) * h / 2.0
+    data.Y = np.full(nd, 2 * h)
+    data.Z = np.full(nd, -1.0)
+
+    from tomofastx_tpu.config.parfile import GravParams
+
+    par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd, depth_weighting_type=1,
+                     Z0=0.1, depth_weighting_power=2.0)
+    cw = sens.calculate_depth_weight(par, grid, data)
+
+    exact = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, data.weight, jnp.float64,
+        force_generic=True, validate=False,
+    )
+    lat32 = make_matrixfree_kernel(
+        par, grid, data, cw, 1.0, data.weight, jnp.float32,
+        force_no_fft=True, validate=False,
+    )
+    assert isinstance(lat32, LatticeMatrixFreeKernel) and lat32.far_quad
+    lat32_raw = dataclasses.replace(lat32, far_quad=False)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(n,))
+    ref = np.asarray(exact.matvec(jnp.asarray(x)))
+    got = np.asarray(lat32.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    raw = np.asarray(lat32_raw.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    err_blend = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    err_raw = np.linalg.norm(raw - ref) / np.linalg.norm(ref)
+    assert err_blend < 5e-5, f"blended f32 lattice op deviates {err_blend:.2e}"
+    assert err_raw > 10 * err_blend, (
+        f"blend no longer matters ({err_raw:.2e} vs {err_blend:.2e}) — "
+        "far_quad wiring broken?"
+    )

@@ -55,6 +55,15 @@ def main(argv=None):
         "K nearest cells per observation (fast on TPU, near-f64 quality)",
     )
     parser.add_argument(
+        "--build-precision", choices=["double", "single"], default="double",
+        help="kernel build physics precision (default double, the reference "
+        "policy). 'single' is the compensated-f32 build: pure f32 physics "
+        "with far cells by Gauss quadrature (tpu.farFieldQuad) — "
+        "reproduces the f64-build inversion quality at f32 speed with no "
+        "emulated f64 anywhere (Mansfield truth-corr 0.814161 for both; "
+        "BASELINE.md round 4)",
+    )
+    parser.add_argument(
         "--f32-compress", action="store_true",
         help="run the wavelet+threshold compression pipeline in f32 for "
         "full-f64 kernel builds (tpu.f64BuildF32Compress=1): f64-quality "
@@ -156,10 +165,14 @@ def main(argv=None):
         cfg.grav.f64_build_f32_compress = 1
         cfg.magn.f64_build_f32_compress = 1
 
+    compute_dtype = (
+        jnp.float64 if args.build_precision == "double" else jnp.float32
+    )
     try:
         with profile_cm:
             solve_problem_joint_gravmag(
-                cfg, base_dir=args.base_dir, solve_dtype=solve_dtype, compute_dtype=jnp.float64,
+                cfg, base_dir=args.base_dir, solve_dtype=solve_dtype,
+                compute_dtype=compute_dtype,
                 verbose=not args.quiet, mesh=mesh, near_field_f64=args.fast_build,
                 fused_chunk=args.fused, resume=args.resume,
             )

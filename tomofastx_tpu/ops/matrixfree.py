@@ -216,14 +216,21 @@ def _diff3(F):
 
 
 def lattice_rows_for_point(
-    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc,
+    far_quad: bool = False,
 ):
     """Per-cell sensitivity rows for one observation point via the
     corner-potential lattice: (nz, ny, nx, nmc, ndc). Each lattice corner's
     antiderivative is evaluated ONCE and shared by up to 8 cells (~8x fewer
     transcendentals than the per-cell 8-corner sums the reference loops,
     gravity_field.f90:131-195). Shared by the matrix-free operator and the
-    dense kernel build (ops/sensitivity.py)."""
+    dense kernel build (ops/sensitivity.py).
+
+    far_quad=True (f32 operators): overwrite cells beyond the blend
+    radius with far-field Gauss quadrature rows — the corner difference
+    has the same ~(R/h)^3 f32 cancellation amplification as the per-cell
+    closed forms (see ops/prism.py), so an f32 lattice operator's far
+    field is noise without it."""
     from tomofastx_tpu.ops.prism import (
         G_GRAV,
         combine_mag_tensor,
@@ -232,22 +239,49 @@ def lattice_rows_for_point(
         mag_corner_potentials,
     )
 
+    def blend(rows):
+        """rows: (nz, ny, nx, nmc, ndc) — overwrite far cells with the
+        quadrature evaluation (elementwise kernels broadcast over the
+        (1,1,nx)/(1,ny,1)/(nz,1,1) bound arrays at zero copy cost)."""
+        if not far_quad:
+            return rows
+        from tomofastx_tpu.ops import prism as P
+
+        ga = (
+            xe[:-1][None, None, :], xe[1:][None, None, :],
+            ye[:-1][None, :, None], ye[1:][None, :, None],
+            ze[:-1][:, None, None], ze[1:][:, None, None],
+        )
+        if problem == "magn":
+            tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga)
+            quad = P.combine_mag_tensor(tq, uq, vq, magv, intensity, nmc, ndc)
+        elif data_type == 1:
+            quad = P.gravi_z_quad(x, y, z, *ga)[..., None, None]
+        elif ndc == 1:
+            quad = P.gradi_zz_quad(x, y, z, *ga)[..., None, None]
+        else:
+            quad = jnp.stack(
+                P.gradi_full_quad(x, y, z, *ga), axis=-1
+            )[..., None, :]
+        mask = P.far_mask(x, y, z, *ga)  # (nz, ny, nx)
+        return jnp.where(mask[..., None, None], quad, rows)
+
     cx = (x - xe)[None, None, :]
     cy = (y - ye)[None, :, None]
     cz = (z - ze)[:, None, None]
 
     if problem == "grav" and data_type == 1:
         rows = -G_GRAV * _diff3(gz_corner_potential(cx, cy, cz))
-        return rows[..., None, None]
+        return blend(rows[..., None, None])
 
     if problem == "grav":  # data_type 2: FTG
         # The gradiprism kernels flip z internally (ZZ = -(zd - Z)).
         ps = ftg_corner_potentials(cx, cy, -cz)
         if ndc == 1:  # Gzz only
             rows = -G_GRAV * _diff3(ps[2])
-            return rows[..., None, None]
+            return blend(rows[..., None, None])
         rows = jnp.stack([-G_GRAV * _diff3(pc) for pc in ps], axis=-1)
-        return rows[..., None, :]
+        return blend(rows[..., None, :])
 
     # Magnetic corner potentials are evaluated at s = corner - obs (the
     # sharmbox convention, magnetic_field.f90:330-335), NOT obs - corner:
@@ -273,7 +307,7 @@ def lattice_rows_for_point(
         (f1, -f3, -f5), (-f3, f2, -f4), (-f5, -f4, -(f1 + f2)),
         magv, intensity, nmc, ndc,
     )  # (nz+1, ny+1, nx+1, nmc, ndc)
-    return _diff3(Fc)
+    return blend(_diff3(Fc))
 
 
 @dataclass
@@ -323,6 +357,9 @@ class LatticeMatrixFreeKernel:
     nmc: int = 1
     ndc: int = 1
     data_type: int = 1  # gravity: 1 = g_z, 2 = gradiometry (FTG)
+    # Compensated-f32 blend: far cells by Gauss quadrature (see
+    # lattice_rows_for_point; set for f32 operators by the factory).
+    far_quad: bool = False
     # Observation sharding (parallel/mesh.py::shard_kernel): when set, each
     # per-chunk batch of observation points is split across the mesh —
     # every device evaluates the corner fields for chunk/n points against
@@ -347,6 +384,7 @@ class LatticeMatrixFreeKernel:
         return lattice_rows_for_point(
             self.xe, self.ye, self.ze, x, y, z, self.problem, self.data_type,
             self.magv, self.intensity, self.nmc, self.ndc,
+            far_quad=self.far_quad,
         )
 
     def _shard_obs(self, xs, ys, zs, w):
@@ -423,19 +461,19 @@ def _lmfk_flatten(k: LatticeMatrixFreeKernel):
     children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w)
     aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz,
            k.problem, k.magv, k.intensity, k.nmc, k.ndc, k.data_type,
-           k.mesh)
+           k.far_quad, k.mesh)
     return children, aux
 
 
 def _lmfk_unflatten(aux, children):
     xe, ye, ze, xd, yd, zd, cw, row_w = children
     (chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc,
-     data_type, mesh) = aux
+     data_type, far_quad, mesh) = aux
     return LatticeMatrixFreeKernel(
         xe=xe, ye=ye, ze=ze, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
         chunk=chunk, nrows=nrows, nx=nx, ny=ny, nz=nz,
         problem=problem, magv=magv, intensity=intensity, nmc=nmc, ndc=ndc,
-        data_type=data_type, mesh=mesh,
+        data_type=data_type, far_quad=far_quad, mesh=mesh,
     )
 
 
@@ -569,7 +607,7 @@ def make_matrixfree_kernel(
                 nx=grid.nx, ny=grid.ny, nz=grid.nz,
                 problem=phys.problem, magv=phys.magv,
                 intensity=phys.intensity, nmc=phys.nmc, ndc=phys.ndc,
-                data_type=phys.data_type,
+                data_type=phys.data_type, far_quad=phys.far_quad,
             )
             if validate:
                 probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))

@@ -248,7 +248,7 @@ def shard_kernel(k, mesh: Mesh):
             nx=k.nx, ny=k.ny, nz=k.nz,
             problem=k.problem, magv=k.magv, intensity=k.intensity,
             nmc=k.nmc, ndc=k.ndc, data_type=k.data_type,
-            mesh=mesh,
+            far_quad=k.far_quad, mesh=mesh,
         )
 
     # Unknown operator type: replicate.
