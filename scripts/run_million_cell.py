@@ -66,13 +66,23 @@ def main():
     N = nx * ny * nz
     nd = nside * nside
 
-    # MC_F64_BUILD=1: full-f64 physics build (corner-lattice, round 3)
-    # instead of the mixed f32 + f64-near-field build — full Mansfield-
-    # anchor quality with no near-field approximation. Separate work dir
-    # so a mixed-build sensit cache is never silently reused.
-    f64_build = os.environ.get("MC_F64_BUILD", "0") == "1"
-    near_field = 0 if f64_build else 1024
-    work = f"/tmp/million_cell_{nx}x{ny}x{nz}" + ("_f64" if f64_build else "")
+    # MC_BUILD selects the kernel build config (separate work dirs so a
+    # different build's sensit cache is never silently reused):
+    #   mixed   (default) f32 physics + f64 K=1024 near-field patch —
+    #           since round 4 the f32 part carries the far-field
+    #           quadrature blend, so this now holds the f64 anchor too;
+    #   f64     full-f64 physics (corner-lattice, round 3; B auto-capped);
+    #   f32quad pure compensated-f32 (round 4) — f64-anchor quality with
+    #           zero emulated-f64 work, the fastest quality build.
+    # MC_F64_BUILD=1 is the legacy alias for MC_BUILD=f64.
+    mc_build = os.environ.get("MC_BUILD", "")
+    if not mc_build:
+        mc_build = "f64" if os.environ.get("MC_F64_BUILD", "0") == "1" else "mixed"
+    assert mc_build in ("mixed", "f64", "f32quad"), mc_build
+    f64_build = mc_build == "f64"
+    near_field = 1024 if mc_build == "mixed" else 0
+    suffix = {"mixed": "", "f64": "_f64", "f32quad": "_f32quad"}[mc_build]
+    work = f"/tmp/million_cell_{nx}x{ny}x{nz}" + suffix
     os.makedirs(work, exist_ok=True)
     t0 = time.time()
     i, j, k = write_grid_file_fast(f"{work}/grid.txt", nx, ny, nz, hx, hy, hz)
@@ -135,14 +145,17 @@ def main():
     cfg = parse_parfile_lines(lines)
 
     out = {"ncells": N, "ndata": nd, "majors": majors, "minors": minors,
-           "build": "full_f64_lattice" if f64_build else "mixed_f32_k1024",
+           "build": {"mixed": "mixed_f32_k1024_farquad",
+                     "f64": "full_f64_lattice",
+                     "f32quad": "compensated_f32_quad"}[mc_build],
            "backend": jax.default_backend()}
 
     t0 = time.time()
     try:
         res = solve_problem_joint_gravmag(
             cfg, base_dir=work, verbose=True, fused_chunk=10, near_field_f64=near_field,
-            solve_dtype=jnp.float32,  # production policy: f64 build, f32 solve
+            solve_dtype=jnp.float32,
+            compute_dtype=jnp.float32 if mc_build == "f32quad" else jnp.float64,
         )
         out["loop_mode"] = "fused(10)"
     except Exception as e:
@@ -162,6 +175,7 @@ def main():
         res = solve_problem_joint_gravmag(
             cfg2, base_dir=work, verbose=True, near_field_f64=near_field,
             solve_dtype=jnp.float32,
+            compute_dtype=jnp.float32 if mc_build == "f32quad" else jnp.float64,
         )
     wall = time.time() - t0
     out["wall_s"] = round(wall, 1)
@@ -200,7 +214,8 @@ def main():
         out["matrixfree_error"] = str(e)[:200]
 
     path = os.path.join(
-        REPO, "MILLION_CELL_F64.json" if f64_build else "MILLION_CELL.json"
+        REPO, {"mixed": "MILLION_CELL.json", "f64": "MILLION_CELL_F64.json",
+               "f32quad": "MILLION_CELL_F32QUAD.json"}[mc_build]
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
