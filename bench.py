@@ -308,11 +308,11 @@ def _bench_mansfield_fused():
     """Full Mansfield inversion (60 majors x 100 LSQR iters, ADMM +
     wavelet compression) through the fused on-device major loop — the
     product's time-to-misfit, not a kernel ceiling. Runs the PRODUCTION
-    TPU configuration: f32 solve + mixed kernel build (f32 physics + f64
-    near-field patch — requires x64; a plain-f32 build is a different,
-    quality-degraded program, see CLAUDE.md precision policy). Returns
-    wall seconds for the cold (first, fresh-process) and warm (second,
-    same-process) runs and the fused-loop majors/s."""
+    TPU configuration (round 4): f32 solve + compensated-f32 kernel build
+    (tpu.farFieldQuad — reproduces the f64-build quality anchor exactly,
+    truth-corr 0.814161, with zero emulated-f64 work; BASELINE.md).
+    Returns wall seconds for the cold (first, fresh-process) and warm
+    (second, same-process) runs and the fused-loop majors/s."""
     import shutil
     import tempfile
 
@@ -333,8 +333,7 @@ def _bench_mansfield_fused():
         t0 = time.time()
         res = solve_problem_joint_gravmag(
             cfg, base_dir=REF, verbose=False, fused_chunk=60,
-            solve_dtype=jnp.float32, compute_dtype=jnp.float64,
-            near_field_f64=1024,
+            solve_dtype=jnp.float32, compute_dtype=jnp.float32,
         )
         wall = time.time() - t0
         out[f"{attempt}_wall_s"] = round(wall, 2)
