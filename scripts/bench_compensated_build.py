@@ -56,6 +56,13 @@ def log(msg):
     print(msg, flush=True)
 
 
+def checkpoint():
+    """Write partial results after every phase — the axon tunnel can
+    stall for an hour mid-session; whatever completed must survive."""
+    with open("COMPENSATED_BUILD_TPU.json", "w") as f:
+        json.dump(OUT, f, indent=1)
+
+
 def make_fixture(topo=False):
     i = np.tile(np.arange(NX), NY * NZ)
     j = np.tile(np.repeat(np.arange(NY), NX), NZ)
@@ -107,6 +114,7 @@ def one_build(tag, grid, data, compute_dtype, near_field=0, batch=256,
     rec = {"cold_s": round(cold, 2), "warm_s": round(warm, 2),
            "rows_per_s_warm": round(ND / warm, 1), "checksum": checksum}
     OUT[tag] = rec
+    checkpoint()
     log(f"{tag}: cold {cold:.1f}s, warm {warm:.1f}s "
         f"({ND / warm:.0f} rows/s), checksum {checksum:.6e}")
     return rec
@@ -124,6 +132,7 @@ def main():
         lat.append(time.time() - t0)
     OUT["tunnel"] = {"first_dispatch_s": round(first, 1),
                      "warm_per_dispatch_s": round(float(np.median(lat)), 4)}
+    checkpoint()
     log(f"tunnel: first {first:.1f}s, per-dispatch "
         f"{np.median(lat) * 1e3:.0f}ms")
 
@@ -182,6 +191,7 @@ def main():
             "truth_corr": round(corr, 6),
             "cost": float(res.cost_data[0]),
         }
+        checkpoint()
         log(f"mansfield compensated-f32 ({attempt}): {wall:.1f}s, "
             f"corr {corr:.6f}, cost {float(res.cost_data[0]):.2e}")
         shutil.rmtree(tmp, ignore_errors=True)
