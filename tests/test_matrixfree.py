@@ -620,3 +620,41 @@ def test_lattice_f32_far_quad_blend(tmp_path):
         f"blend no longer matters ({err_raw:.2e} vs {err_blend:.2e}) — "
         "far_quad wiring broken?"
     )
+
+
+def test_threshold_bisect_matches_topk():
+    """The bit-pattern bisection threshold (TOMOFASTX_TOPK=bisect) must
+    equal lax.top_k's k-th largest EXACTLY — random rows, heavy ties,
+    k at both extremes, zeros."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    cases = []
+    a = np.abs(rng.normal(size=(5, 1000))).astype(np.float32)
+    cases.append((a, 150))
+    cases.append((a, 1))
+    cases.append((a, 999))
+    tied = np.repeat(
+        np.abs(rng.normal(size=(3, 100))).astype(np.float32), 10, axis=1
+    )
+    cases.append((tied, 37))
+    withz = a.copy()
+    withz[:, ::3] = 0.0
+    cases.append((withz, 500))
+    for arr, k in cases:
+        absw = jnp.asarray(arr)
+        want = np.asarray(jax.lax.top_k(absw, k)[0][..., -1])
+        got = np.asarray(sens._kth_largest_bisect_f32(absw, k))
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
+def test_compress_lines_bisect_identical(monkeypatch):
+    """_compress_lines output (values, nnz, error) is bit-identical under
+    either threshold algorithm on an f32 pipeline."""
+    rng = np.random.default_rng(5)
+    lines = jnp.asarray(rng.normal(size=(4, 1, 1, 8 * 8 * 4)).astype(np.float32))
+    ref = sens._compress_lines(lines, 8, 8, 4, 1, 100, jnp.float32)
+    monkeypatch.setattr(sens, "THRESHOLD_SELECT", "bisect")
+    got = sens._compress_lines(lines, 8, 8, 4, 1, 100, jnp.float32)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

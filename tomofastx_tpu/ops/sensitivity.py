@@ -321,6 +321,8 @@ def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_d
 
     if nel_compressed >= N:
         threshold = jnp.full(absw.shape[:-1], -1.0, absw.dtype)
+    elif absw.dtype == jnp.float32 and THRESHOLD_SELECT == "bisect":
+        threshold = _kth_largest_bisect_f32(absw, nel_compressed + 1)
     else:
         # (nel_compressed + 1)-th largest |coefficient| per row
         # (= sorted_ascending[N - nel_compressed], sensitivity_gravmag.F90:248-249).
@@ -343,6 +345,42 @@ def _compress_lines(lines, nx, ny, nz, compression_type, nel_compressed, store_d
 # slower); False keeps the f64 pipeline end-to-end. Module-level so the
 # precision study (BASELINE.md) can toggle it.
 MIXED_BUILD_F32_COMPRESS = True
+
+# Threshold selection algorithm for the wavelet compression's K-th
+# largest |coefficient| per row: "topk" = lax.top_k (lowers to a sort on
+# TPU — O(N log N) with poor constants at N = 262k); "bisect" = exact
+# 32-step binary search on the f32 BIT PATTERN (non-negative floats are
+# order-isomorphic to their int32 representations), 32 masked
+# count-reductions — pure VPU elementwise work. Both return the identical
+# threshold (pinned by test_matrixfree.py::test_threshold_bisect_*);
+# default via TOMOFASTX_TOPK, else topk until the TPU A/B lands.
+THRESHOLD_SELECT = os.environ.get("TOMOFASTX_TOPK", "topk")
+
+
+def _kth_largest_bisect_f32(absw, k: int):
+    """Exact k-th largest value along the last axis of a NON-NEGATIVE f32
+    array, by binary search on the int32 bit pattern. Returns the same
+    value as lax.top_k(absw, k)[0][..., -1] (ties included: counting
+    elements >= candidate makes the k-th order statistic exact)."""
+    bits = jax.lax.bitcast_convert_type(absw, jnp.int32)
+
+    def body(i, state):
+        lo, hi = state  # k-th largest bit pattern is in (lo, hi]
+        mid = lo + (hi - lo) // 2
+        # Elements strictly greater than pattern `mid`.
+        cnt = jnp.sum(bits > mid[..., None], axis=-1)
+        # If >= k elements exceed mid, the k-th largest is above mid.
+        above = cnt >= k
+        return jnp.where(above, mid, lo), jnp.where(above, hi, mid)
+
+    # Invariant: count(> lo) >= k and count(> hi) < k, so the k-th
+    # largest bit pattern stays in (lo, hi]; 32 halvings pin hi to it
+    # exactly. lo = -1 (< +0.0's pattern 0) and hi = the row max are
+    # valid initial bounds for any 1 <= k <= N.
+    lo0 = jnp.full(absw.shape[:-1], -1, jnp.int32)
+    hi0 = jax.lax.bitcast_convert_type(jnp.max(absw, axis=-1), jnp.int32)
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
 
 
 def _chunk_plan(nd: int, batch: int):
