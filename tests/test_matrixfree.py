@@ -658,3 +658,55 @@ def test_compress_lines_bisect_identical(monkeypatch):
     got = sens._compress_lines(lines, 8, 8, 4, 1, 100, jnp.float32)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_f64_auto_cap_applies_in_build(tmp_path, monkeypatch):
+    """The batch decision (_effective_batch_size) must apply
+    _f64_build_batch_cap on the TPU backend for emulated-f64 physics,
+    honor the TOMOFASTX_BUILD_BATCH override, and leave f32 physics
+    uncapped (compile-size-wise) at small N."""
+    import jax
+
+    par, grid, data, cw = _setup(tmp_path, "grav")
+    n = grid.nelements_total
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    got = sens._effective_batch_size(par, grid, 10_000, jnp.float64,
+                                     jnp.float32, 0)
+    assert got == min(10_000, sens._f64_build_batch_cap(n))
+
+    monkeypatch.setenv("TOMOFASTX_BUILD_BATCH", "16")
+    got = sens._effective_batch_size(par, grid, 10_000, jnp.float64,
+                                     jnp.float32, 0)
+    assert got == 16
+    monkeypatch.delenv("TOMOFASTX_BUILD_BATCH")
+
+    # f32 physics: the f64 compile cap must NOT apply — at this tiny
+    # fixture the memory cap is far above the request, so it passes
+    # through unchanged.
+    got = sens._effective_batch_size(par, grid, 10_000, jnp.float32,
+                                     jnp.float32, 0)
+    assert got == 10_000
+    # ...while a million-cell f64 request is capped to the known-good 32.
+    import dataclasses as _dc
+
+    class _BigGrid:
+        nelements_total = 1_048_576
+
+    got = sens._effective_batch_size(par, _BigGrid(), 10_000, jnp.float64,
+                                     jnp.float32, 0)
+    assert got == 32
+
+    # And compute_sensitivity actually routes through it.
+    seen = {}
+    real = sens._effective_batch_size
+
+    def spy(*a, **k):
+        seen["got"] = real(*a, **k)
+        return seen["got"]
+
+    monkeypatch.setattr(sens, "_effective_batch_size", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float32,
+                             batch_size=24)
+    assert seen["got"] == 24

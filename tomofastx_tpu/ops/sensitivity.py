@@ -406,6 +406,51 @@ def _chunk_plan(nd: int, batch: int):
     return plan
 
 
+def _effective_batch_size(par, grid, batch_size, compute_dtype,
+                          store_dtype, near_field_f64):
+    """Clamp the requested build chunk: manual TOMOFASTX_BUILD_BATCH
+    override, the emulated-f64 compile-size auto-cap, and the TPU chunk
+    working-set cap (see each block). Extracted for direct unit testing
+    of the batch decision (round-3 verdict item 4)."""
+    import jax as _jax
+
+    N = grid.nelements_total
+    # Manual override for the build chunk size (takes precedence over the
+    # automatic emulated-f64 program-size cap below). 0/unset = automatic.
+    env_cap = int(os.environ.get("TOMOFASTX_BUILD_BATCH", "0") or 0)
+    if env_cap > 0:
+        batch_size = min(batch_size, env_cap)
+    elif (_jax.default_backend() == "tpu"
+          and jnp.dtype(compute_dtype) == jnp.float64):
+        # Auto-cap emulated-f64 program size: XLA's compile time for the
+        # double-double prism programs grows super-linearly with program
+        # size, and past a threshold the remote compiler effectively hangs
+        # (measured at 262k/1M cells: B*N = 3.4e7 f64 row-elements
+        # compiles in the ~4 min class; B*N = 1.2e8 hung 26+ min and was
+        # killed — BASELINE.md round-3 follow-up 3). Cap B so each build
+        # program stays at or below the known-good size; the cached
+        # program then costs nothing on reruns.
+        batch_size = min(batch_size, _f64_build_batch_cap(N))
+
+    if _jax.default_backend() == "tpu":
+        # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
+        # + 4 f32 rows + store bytes) per row next to the device-resident
+        # kernel. At 2M cells the default B=225 needs ~6.5 GB of temps on
+        # top of an 8.3 GB bf16 kernel and RESOURCE_EXHAUSTs the 16 GB
+        # chip; budget ~2.5 GB of chunk temps.
+        if near_field_f64 > 0:
+            # Mixed build: f32 physics rows + the f64 patched/weighted copy.
+            row_bytes = N * (8 + 4)
+        else:
+            # Pure-dtype build: physics rows + weighted product, both in
+            # compute_dtype (a full-f64 build is 8-byte temps throughout).
+            row_bytes = N * 2 * jnp.dtype(compute_dtype).itemsize
+        row_bytes += N * jnp.dtype(store_dtype).itemsize
+        mem_cap = max(8, int(2.5e9 // max(row_bytes, 1)) // 8 * 8)
+        batch_size = min(batch_size, mem_cap)
+    return batch_size
+
+
 def _f64_build_batch_cap(n_cells: int) -> int:
     """Max rows per emulated-f64 build program for a safe XLA compile.
 
@@ -464,39 +509,9 @@ def compute_sensitivity(
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
-    # Manual override for the build chunk size (takes precedence over the
-    # automatic emulated-f64 program-size cap below). 0/unset = automatic.
-    env_cap = int(os.environ.get("TOMOFASTX_BUILD_BATCH", "0") or 0)
-    if env_cap > 0:
-        batch_size = min(batch_size, env_cap)
-    elif (jax.default_backend() == "tpu"
-          and jnp.dtype(compute_dtype) == jnp.float64):
-        # Auto-cap emulated-f64 program size: XLA's compile time for the
-        # double-double prism programs grows super-linearly with program
-        # size, and past a threshold the remote compiler effectively hangs
-        # (measured at 262k/1M cells: B*N = 3.4e7 f64 row-elements
-        # compiles in the ~4 min class; B*N = 1.2e8 hung 26+ min and was
-        # killed — BASELINE.md round-3 follow-up 3). Cap B so each build
-        # program stays at or below the known-good size; the cached
-        # program then costs nothing on reruns.
-        batch_size = min(batch_size, _f64_build_batch_cap(N))
-
-    if jax.default_backend() == "tpu":
-        # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
-        # + 4 f32 rows + store bytes) per row next to the device-resident
-        # kernel. At 2M cells the default B=225 needs ~6.5 GB of temps on
-        # top of an 8.3 GB bf16 kernel and RESOURCE_EXHAUSTs the 16 GB
-        # chip; budget ~2.5 GB of chunk temps.
-        if near_field_f64 > 0:
-            # Mixed build: f32 physics rows + the f64 patched/weighted copy.
-            row_bytes = N * (8 + 4)
-        else:
-            # Pure-dtype build: physics rows + weighted product, both in
-            # compute_dtype (a full-f64 build is 8-byte temps throughout).
-            row_bytes = N * 2 * jnp.dtype(compute_dtype).itemsize
-        row_bytes += N * jnp.dtype(store_dtype).itemsize
-        mem_cap = max(8, int(2.5e9 // max(row_bytes, 1)) // 8 * 8)
-        batch_size = min(batch_size, mem_cap)
+    batch_size = _effective_batch_size(
+        par, grid, batch_size, compute_dtype, store_dtype, near_field_f64
+    )
 
     if par.compression_type > 0 and jax.default_backend() == "tpu":
         # The 3-D wavelet lifting lowers to a strided scatter whose scoped
