@@ -84,17 +84,42 @@ class CompileCounter(logging.Handler):
 COUNTER = CompileCounter()
 
 
+# If the first dispatch does not complete within this budget, the tunnel
+# is declared unresponsive and the bench emits an error record instead of
+# hanging forever (observed 2026-08-21: a first dispatch still pending
+# after 90 minutes — the round artifact must exist regardless).
+TUNNEL_DEAD_AFTER_S = 900.0
+
+
 def measure_tunnel_health():
     """Per-process handshake + warm per-dispatch latency of the tunnel.
 
     Returns (first_dispatch_s, per_dispatch_s, latency_factor). The
     latency factor (measured warm dispatch / healthy 30 ms, floored at 1)
     scales the cold-wall budget: a wall made of N round trips inflates by
-    exactly this factor on a sick tunnel with zero product regression."""
+    exactly this factor on a sick tunnel with zero product regression.
+
+    Raises TimeoutError if the first dispatch exceeds TUNNEL_DEAD_AFTER_S
+    (the dispatch runs in a daemon thread — a blocked RPC cannot be
+    cancelled, but the process must not hang)."""
+    import threading
+
     import jax.numpy as jnp
 
     t_probe = time.time()
-    _ = float(jnp.float32(1.0) + jnp.float32(2.0))
+    done = threading.Event()
+
+    def _first():
+        _ = float(jnp.float32(1.0) + jnp.float32(2.0))
+        done.set()
+
+    th = threading.Thread(target=_first, daemon=True)
+    th.start()
+    if not done.wait(TUNNEL_DEAD_AFTER_S):
+        raise TimeoutError(
+            f"tunnel unresponsive: first dispatch still pending after "
+            f"{TUNNEL_DEAD_AFTER_S:.0f}s"
+        )
     first_dispatch_s = round(time.time() - t_probe, 1)
     # Warm per-dispatch latency: median of tiny add+fetch round trips.
     samples = []
@@ -126,7 +151,20 @@ def main():
     # warm per-dispatch latency itself inflates ~1.5x+ when degraded,
     # confounding every wall number below. Measure both before anything
     # else touches the device and report them alongside the walls.
-    first_dispatch_s, per_dispatch_s, latency_factor = measure_tunnel_health()
+    try:
+        first_dispatch_s, per_dispatch_s, latency_factor = measure_tunnel_health()
+    except TimeoutError as e:
+        # Emit a well-formed record rather than hanging the round.
+        print(json.dumps({
+            "metric": "sensit_matvec_gflops_per_chip",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "tunnel_unresponsive": True,
+            "error": str(e),
+            "backend": jax.default_backend(),
+        }))
+        return
     _log(f"[bench] tunnel: first dispatch {first_dispatch_s}s, warm "
          f"per-dispatch {per_dispatch_s * 1e3:.0f}ms "
          f"(healthy {HEALTHY_DISPATCH_S * 1e3:.0f}ms -> "
