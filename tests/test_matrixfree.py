@@ -710,3 +710,56 @@ def test_f64_auto_cap_applies_in_build(tmp_path, monkeypatch):
     sens.compute_sensitivity(par, grid, data, cw, jnp.float64, jnp.float32,
                              batch_size=24)
     assert seen["got"] == 24
+
+
+@pytest.mark.parametrize("problem,data_type,nmc,ndc", [
+    ("magn", 1, 1, 1),
+    ("magn", 1, 3, 3),
+    ("grav", 2, 1, 6),
+])
+def test_lattice_f32_far_quad_blend_families(problem, data_type, nmc, ndc):
+    """The lattice far-quad blend must agree with the general per-cell
+    blended operator for every physics family (the two paths share the
+    quadrature kernels; near cells compare lattice-diff vs closed forms)."""
+    from tomofastx_tpu.config.parfile import GravParams, MagParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+
+    nx, ny, nz = 48, 4, 4
+    n = nx * ny * nz
+    h = 100.0
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    grid = Grid(nx=nx, ny=ny, nz=nz, X1=i * h, X2=(i + 1) * h,
+                Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+    nd = 4
+    data = SurveyData(ndata=nd, ncomponents=ndc)
+    data.X = (np.arange(nd) + 0.5) * h / 2.0
+    data.Y = np.full(nd, 2 * h)
+    data.Z = np.full(nd, -1.0)
+
+    cls = MagParams if problem == "magn" else GravParams
+    par = cls(nx=nx, ny=ny, nz=nz, ndata=nd, depth_weighting_type=1,
+              Z0=0.1, depth_weighting_power=2.0)
+    par.data_type = data_type
+    par.nmodel_components = nmc
+    par.ndata_components = ndc
+    cw = sens.calculate_depth_weight(par, grid, data)
+
+    lat = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                 jnp.float32, force_no_fft=True,
+                                 validate=False)
+    gen = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                 jnp.float32, force_generic=True,
+                                 validate=False)
+    assert isinstance(lat, LatticeMatrixFreeKernel) and lat.far_quad
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(nmc * n,)), jnp.float32)
+    a = np.asarray(lat.matvec(x), np.float64)
+    b = np.asarray(gen.matvec(x), np.float64)
+    # Far cells: identical quadrature values; near: lattice-vs-closed
+    # rounding only.
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-12 * np.abs(b).max())
