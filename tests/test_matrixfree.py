@@ -554,9 +554,13 @@ def test_f64_build_batch_auto_cap():
     262k cells compiled fine (BASELINE.md). The cap reproduces those
     known-good batch sizes without TOMOFASTX_BUILD_BATCH tuning."""
     cap = sens._f64_build_batch_cap
-    assert cap(262144) == 128      # 64^3 bench shape: B=128 known-good
-    assert cap(1048576) == 32      # 1M cells: B=32 good, B=112 hung
+    assert cap(262144) == 128      # 64^3 lattice build: B=128 known-good
+    assert cap(1048576) == 32      # 1M lattice: B=32 good, B=112 hung
     assert cap(4194304) == 8       # 4M cells: floor
+    # Per-cell build: 8 corner evals per element -> 8x smaller cap
+    # (B=32 at 262k is its proven point, round-3 bench_build_ab).
+    assert cap(262144, lattice=False) == 32
+    assert cap(1048576, lattice=False) == 8
     assert cap(8192) % 8 == 0 and cap(8192) >= 8
     # Monotone non-increasing in N.
     caps = [cap(n) for n in (1, 10_000, 100_000, 1_000_000, 10_000_000)]
@@ -687,15 +691,18 @@ def test_f64_auto_cap_applies_in_build(tmp_path, monkeypatch):
     got = sens._effective_batch_size(par, grid, 10_000, jnp.float32,
                                      jnp.float32, 0)
     assert got == 10_000
-    # ...while a million-cell f64 request is capped to the known-good 32.
-    import dataclasses as _dc
-
+    # ...while a million-cell f64 LATTICE request is capped to the
+    # known-good 32, and the per-cell build (8 corner evaluations per
+    # element = 8x the emulated-f64 transcendentals) to 8.
     class _BigGrid:
         nelements_total = 1_048_576
 
     got = sens._effective_batch_size(par, _BigGrid(), 10_000, jnp.float64,
-                                     jnp.float32, 0)
+                                     jnp.float32, 0, lattice=True)
     assert got == 32
+    got = sens._effective_batch_size(par, _BigGrid(), 10_000, jnp.float64,
+                                     jnp.float32, 0, lattice=False)
+    assert got == 8
 
     # And compute_sensitivity actually routes through it.
     seen = {}

@@ -407,7 +407,7 @@ def _chunk_plan(nd: int, batch: int):
 
 
 def _effective_batch_size(par, grid, batch_size, compute_dtype,
-                          store_dtype, near_field_f64):
+                          store_dtype, near_field_f64, lattice=False):
     """Clamp the requested build chunk: manual TOMOFASTX_BUILD_BATCH
     override, the emulated-f64 compile-size auto-cap, and the TPU chunk
     working-set cap (see each block). Extracted for direct unit testing
@@ -430,7 +430,7 @@ def _effective_batch_size(par, grid, batch_size, compute_dtype,
         # killed — BASELINE.md round-3 follow-up 3). Cap B so each build
         # program stays at or below the known-good size; the cached
         # program then costs nothing on reruns.
-        batch_size = min(batch_size, _f64_build_batch_cap(N))
+        batch_size = min(batch_size, _f64_build_batch_cap(N, lattice))
 
     if _jax.default_backend() == "tpu":
         # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
@@ -451,14 +451,22 @@ def _effective_batch_size(par, grid, batch_size, compute_dtype,
     return batch_size
 
 
-def _f64_build_batch_cap(n_cells: int) -> int:
+def _f64_build_batch_cap(n_cells: int, lattice: bool = True) -> int:
     """Max rows per emulated-f64 build program for a safe XLA compile.
 
-    Calibrated on hardware (BASELINE.md): 3.4e7 f64 row-elements per
-    program compiled in ~4 min worst case (B=128 at 262k cells, B=32 at
-    1M cells), while 1.2e8 (B=112 at 1M cells) hung the remote compiler
-    26+ min. Returns a multiple of 8, at least 8."""
-    return max(8, int(3.4e7 // max(n_cells, 1)) // 8 * 8)
+    Calibrated on hardware (BASELINE.md) for the CORNER-LATTICE build
+    (~1 corner evaluation per cell): 3.4e7 f64 row-elements per program
+    compiled in ~4 min worst case (B=128 at 262k cells, B=32 at 1M
+    cells), while 1.2e8 (B=112 at 1M cells) hung the remote compiler
+    26+ min. The per-cell build evaluates 8 corners per element — 8x the
+    emulated-f64 transcendentals per row-element — so its cap is 8x
+    smaller (B=32 at 262k cells = 6.7e7 corner evals is its proven
+    point, round-3 bench_build_ab). Returns a multiple of 8, at least 8."""
+    # Lattice budget: 3.4e7 corner evals (~= row-elements). Per-cell
+    # budget: 8.4e6 row-elements = 6.7e7 corner evals — exactly the
+    # proven B=32-at-262k point.
+    budget = 3.4e7 if lattice else 8.4e6
+    return max(8, int(budget // max(n_cells, 1)) // 8 * 8)
 
 
 def compute_sensitivity(
@@ -509,30 +517,6 @@ def compute_sensitivity(
     N = grid.nelements_total
     nd, ndc, nmc = par.ndata, par.ndata_components, par.nmodel_components
 
-    batch_size = _effective_batch_size(
-        par, grid, batch_size, compute_dtype, store_dtype, near_field_f64
-    )
-
-    if par.compression_type > 0 and jax.default_backend() == "tpu":
-        # The 3-D wavelet lifting lowers to a strided scatter whose scoped
-        # VMEM scales with batch x (cells / longest axis); B = 256 at 64^3
-        # cells exceeds the 16 MB scoped limit (measured: 24 MB requested).
-        # Cap the chunk so the first compile succeeds — the adaptive OOM
-        # shrink below remains as the backstop, but a failed XLA compile
-        # costs ~80 s over the tunnel and is never cached.
-        inner = max(N // max(grid.nx, grid.ny, grid.nz), 1)
-        cap = max(8, (128 * 4096 // inner) // 8 * 8)
-        batch_size = min(batch_size, cap)
-
-    grid_arrays = tuple(
-        jnp.asarray(a, compute_dtype)
-        for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
-    )
-    # Column weights stay f64 in the mixed build so the patched rows keep
-    # full precision.
-    cw_dtype = jnp.float64 if near_field_f64 > 0 else compute_dtype
-    cw = jnp.asarray(column_weight, cw_dtype)
-
     is_mag = isinstance(par, MagParams)
     problem = "magn" if is_mag else "grav"
     magv = prism.dircos(par.mi, par.md, par.theta) if is_mag else (0.0, 0.0, 1.0)
@@ -540,11 +524,6 @@ def compute_sensitivity(
     # Static decision: only pay for the 6-subprism in-cell branch when some
     # observation point actually lies inside the grid volume.
     handle_inside = is_mag and observation_inside_grid(grid, data)
-
-    if par.compression_type > 0:
-        nel_compressed = int(par.compression_rate * N)
-    else:
-        nel_compressed = N
 
     # Corner-lattice fast build: on a tensor-product grid evaluate the
     # corner antiderivatives ONCE per lattice node per observation and
@@ -574,6 +553,37 @@ def compute_sensitivity(
         if lattice_edges is not None
         else ()
     )
+
+    batch_size = _effective_batch_size(
+        par, grid, batch_size, compute_dtype, store_dtype, near_field_f64,
+        lattice=lattice_edges is not None,
+    )
+
+    if par.compression_type > 0 and jax.default_backend() == "tpu":
+        # The 3-D wavelet lifting lowers to a strided scatter whose scoped
+        # VMEM scales with batch x (cells / longest axis); B = 256 at 64^3
+        # cells exceeds the 16 MB scoped limit (measured: 24 MB requested).
+        # Cap the chunk so the first compile succeeds — the adaptive OOM
+        # shrink below remains as the backstop, but a failed XLA compile
+        # costs ~80 s over the tunnel and is never cached.
+        inner = max(N // max(grid.nx, grid.ny, grid.nz), 1)
+        cap = max(8, (128 * 4096 // inner) // 8 * 8)
+        batch_size = min(batch_size, cap)
+
+    grid_arrays = tuple(
+        jnp.asarray(a, compute_dtype)
+        for a in (grid.X1, grid.X2, grid.Y1, grid.Y2, grid.Z1, grid.Z2)
+    )
+    # Column weights stay f64 in the mixed build so the patched rows keep
+    # full precision.
+    cw_dtype = jnp.float64 if near_field_f64 > 0 else compute_dtype
+    cw = jnp.asarray(column_weight, cw_dtype)
+
+
+    if par.compression_type > 0:
+        nel_compressed = int(par.compression_rate * N)
+    else:
+        nel_compressed = N
 
     f32_pipeline = bool(getattr(par, "f64_build_f32_compress", 0))
     # Compensated-f32 physics (tpu.farFieldQuad, default on): blend in
