@@ -352,9 +352,13 @@ MIXED_BUILD_F32_COMPRESS = True
 # 32-step binary search on the f32 BIT PATTERN (non-negative floats are
 # order-isomorphic to their int32 representations), 32 masked
 # count-reductions — pure VPU elementwise work. Both return the identical
-# threshold (pinned by test_matrixfree.py::test_threshold_bisect_*);
-# default via TOMOFASTX_TOPK, else topk until the TPU A/B lands.
-THRESHOLD_SELECT = os.environ.get("TOMOFASTX_TOPK", "topk")
+# threshold (pinned by test_matrixfree.py::test_threshold_bisect_*).
+# Default bisect since the TPU A/B (TOPK_AB.json): the full compressed
+# bench-shape build went 225 -> 655 rows/s (2.9x) with bit-identical
+# kernel checksums; the isolated compression stage is 1.59x. f64
+# pipelines are unaffected (the bitcast trick is f32-only and they keep
+# lax.top_k). Override with TOMOFASTX_TOPK=topk.
+THRESHOLD_SELECT = os.environ.get("TOMOFASTX_TOPK", "bisect")
 
 
 def _kth_largest_bisect_f32(absw, k: int):
