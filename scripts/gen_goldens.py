@@ -57,6 +57,11 @@ FIXTURES = [
     # the 'overrides' dict is applied to cfg.inversion by the test.
     ("parfiles/Parfile_mansf_slice.txt#priors2", 2,
      {"number_prior_models": 2}),
+    # The compensated-f32 build (round 4): pins the far-field-quadrature
+    # physics + f32 pipeline bitwise on CPU (any quad/blend change that
+    # perturbs a single ulp fails at rtol 1e-10 after 100 LSQR iters).
+    ("parfiles/Parfile_mansf_slice.txt#f32quad", 2,
+     {"compute_dtype": "float32"}),
 ]
 
 
@@ -80,7 +85,13 @@ def run_one(parfile, niter, overrides=None):
     tmp = tempfile.mkdtemp()
     cfg.path_output = tmp + "/"
     cfg.inversion.ninversions = niter
+    kwargs = {}
     for k, v in (overrides or {}).items():
+        if k == "compute_dtype":  # solver kwarg, not a config field
+            import jax.numpy as jnp
+
+            kwargs["compute_dtype"] = getattr(jnp, v)
+            continue
         # Apply wherever the field lives (some knobs are per-problem).
         hit = False
         for obj in (cfg.inversion, cfg.grav, cfg.magn):
@@ -88,7 +99,7 @@ def run_one(parfile, niter, overrides=None):
                 setattr(obj, k, v)
                 hit = True
         assert hit, k
-    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False)
+    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False, **kwargs)
 
     costs_rows = []
     with open(os.path.join(tmp, "costs.txt")) as f:
