@@ -364,8 +364,8 @@ THRESHOLD_SELECT = os.environ.get("TOMOFASTX_TOPK", "bisect")
 def _kth_largest_bisect_f32(absw, k: int):
     """Exact k-th largest value along the last axis of a NON-NEGATIVE f32
     array, by binary search on the int32 bit pattern. Returns the same
-    value as lax.top_k(absw, k)[0][..., -1] (ties included: counting
-    elements >= candidate makes the k-th order statistic exact)."""
+    value as lax.top_k(absw, k)[0][..., -1] (ties included: bisecting on
+    the strictly-greater count pins the exact k-th order statistic)."""
     bits = jax.lax.bitcast_convert_type(absw, jnp.int32)
 
     def body(i, state):
@@ -434,7 +434,13 @@ def _effective_batch_size(par, grid, batch_size, compute_dtype,
         # killed — BASELINE.md round-3 follow-up 3). Cap B so each build
         # program stays at or below the known-good size; the cached
         # program then costs nothing on reruns.
-        batch_size = min(batch_size, _f64_build_batch_cap(N, lattice))
+        # The magnetic tensor evaluates ~2x the transcendentals of the
+        # gravity forms per corner (5 log/atan2 channels vs 3); halve its
+        # budget — the calibration points were gravity builds.
+        cap = _f64_build_batch_cap(N, lattice)
+        if isinstance(par, MagParams):
+            cap = max(8, cap // 2 // 8 * 8)
+        batch_size = min(batch_size, cap)
 
     if _jax.default_backend() == "tpu":
         # Working-set cap: each chunk materializes ~N*(8 f64-patched rows
