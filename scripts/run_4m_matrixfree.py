@@ -104,6 +104,9 @@ def main():
         "inversion.minResidual = 1e-13\n",
         "inversion.modelDamping.grav.weight = 1e-11\n",
         "tpu.kernelFormat = matrixfree\n",
+        # MF_FARQ=0 disables the compensated far-field blend in the
+        # operator (A/B + crash isolation; default on).
+        f"tpu.farFieldQuad = {os.environ.get('MF_FARQ', '1')}\n",
     ])
 
     out = {"ncells": N, "ndata": nd, "majors": majors, "minors": minors,

@@ -770,3 +770,42 @@ def test_lattice_f32_far_quad_blend_families(problem, data_type, nmc, ndc):
     # Far cells: identical quadrature values; near: lattice-vs-closed
     # rounding only.
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-12 * np.abs(b).max())
+
+
+def test_lattice_blend_gated_off_at_huge_n(capsys):
+    """Above ~2M cells the blended lattice program hard-crashes the TPU
+    worker (reproduced live at 200x200x100; fine at 1M) — the factory
+    must gate far_quad off with a loud warning at that scale, and keep
+    it on below."""
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
+
+    def build(nx, ny, nz):
+        n = nx * ny * nz
+        h = 100.0
+        i = np.tile(np.arange(nx), ny * nz)
+        j = np.tile(np.repeat(np.arange(ny), nx), nz)
+        k = np.repeat(np.arange(nz), nx * ny)
+        grid = Grid(nx=nx, ny=ny, nz=nz, X1=i * h, X2=(i + 1) * h,
+                    Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+        nd = 4
+        data = SurveyData(ndata=nd, ncomponents=1)
+        data.X = (np.arange(nd) + 0.5) * h
+        data.Y = np.full(nd, 1.5 * h)
+        data.Z = np.full(nd, -1.0)
+        par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd,
+                         depth_weighting_type=1, Z0=0.1,
+                         depth_weighting_power=2.0)
+        cw = np.ones(n)
+        return make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                      jnp.float32, force_no_fft=True,
+                                      validate=False)
+
+    small = build(32, 32, 8)
+    assert isinstance(small, LatticeMatrixFreeKernel) and small.far_quad
+
+    big = build(160, 160, 100)  # 2.56M cells > the 2M gate
+    assert isinstance(big, LatticeMatrixFreeKernel) and not big.far_quad
+    assert "disabling the far-field quadrature blend" in capsys.readouterr().out

@@ -554,6 +554,14 @@ def make_matrixfree_kernel(
     nd = par.ndata
     if chunk is None:
         chunk = max(8, min(256, (1 << 26) // max(N * phys.nmc * phys.ndc, 1)))
+        if phys.far_quad:
+            # The quad blend roughly doubles the per-chunk working set
+            # (quad rows + mask next to the closed/lattice rows and the
+            # 27-point accumulation temps). At the 4M-cell scale the
+            # default chunk made the TPU worker CRASH outright (not a
+            # graceful RESOURCE_EXHAUSTED — observed 2026-08-21); halve
+            # the chunk for blended f32 operators.
+            chunk = max(8, chunk // 2)
     nd_pad = ((nd + chunk - 1) // chunk) * chunk
 
     # Padding rows must evaluate to finite numbers (a corner-touching
@@ -589,6 +597,25 @@ def make_matrixfree_kernel(
             or (phys.problem == "magn" and not phys.handle_inside)
         )
     )
+    # The blended LATTICE program hard-crashes the TPU worker above ~2M
+    # cells (reproduced at 200x200x100 with chunks 16 AND 8, while the
+    # same run with farFieldQuad=0 completes — 2026-08-21; works at 1M).
+    # Until the runtime defect is understood, gate the blend off for huge
+    # lattice operators and say so: the operator then carries the known
+    # f32 far-field cancellation error (~3.5e-5 relerr vs f64; BASELINE
+    # round-2 accuracy table) — on gridded surveys prefer the BTTB
+    # operator, which is exact-f64-table physics at any size.
+    LATTICE_BLEND_MAX_CELLS = 2_000_000
+    lattice_far_quad = phys.far_quad
+    if lattice_far_quad and N > LATTICE_BLEND_MAX_CELLS:
+        print(
+            f"WARNING: disabling the far-field quadrature blend for the "
+            f"corner-lattice operator at {N} cells (> "
+            f"{LATTICE_BLEND_MAX_CELLS}: blended programs crash the TPU "
+            f"worker at this scale); far-field f32 accuracy is reduced — "
+            f"prefer the BTTB operator on gridded surveys.", flush=True,
+        )
+        lattice_far_quad = False
     if lattice_ok:
         lat = detect_lattice(grid)
         if lat is not None:
@@ -607,7 +634,7 @@ def make_matrixfree_kernel(
                 nx=grid.nx, ny=grid.ny, nz=grid.nz,
                 problem=phys.problem, magv=phys.magv,
                 intensity=phys.intensity, nmc=phys.nmc, ndc=phys.ndc,
-                data_type=phys.data_type, far_quad=phys.far_quad,
+                data_type=phys.data_type, far_quad=lattice_far_quad,
             )
             if validate:
                 probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))
