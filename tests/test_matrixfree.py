@@ -773,6 +773,11 @@ def test_lattice_f32_far_quad_blend_families(problem, data_type, nmc, ndc):
 
 
 def test_lattice_blend_gated_off_at_huge_n(capsys):
+    """Above ~2M cells the blended lattice operator crashes the TPU
+    worker inside the fused solve (standalone matvec/rmatvec at 4M are
+    fine — the composed program is the trigger; reproduced live with
+    both quad formulations) — the factory must gate far_quad off with a
+    loud warning at that scale, and keep it on below."""
     """Above ~2M cells the blended lattice program hard-crashes the TPU
     worker (reproduced live at 200x200x100; fine at 1M) — the factory
     must gate far_quad off with a loud warning at that scale, and keep

@@ -247,10 +247,20 @@ def lattice_rows_for_point(
             return rows
         from tomofastx_tpu.ops import prism as P
 
+        # FLAT (N,) cell bounds, not the (1,1,nx)/(1,ny,1)/(nz,1,1)
+        # broadcast triplets: the broadcast-structured blend program
+        # hard-crashes the TPU worker above ~2M cells while the flat
+        # per-cell program is proven at 4M (CLAUDE.md gotcha) — and the
+        # element count is identical either way.
+        nz_, ny_, nx_ = len(ze) - 1, len(ye) - 1, len(xe) - 1
+        shp = (nz_, ny_, nx_)
         ga = (
-            xe[:-1][None, None, :], xe[1:][None, None, :],
-            ye[:-1][None, :, None], ye[1:][None, :, None],
-            ze[:-1][:, None, None], ze[1:][:, None, None],
+            jnp.broadcast_to(xe[:-1][None, None, :], shp).reshape(-1),
+            jnp.broadcast_to(xe[1:][None, None, :], shp).reshape(-1),
+            jnp.broadcast_to(ye[:-1][None, :, None], shp).reshape(-1),
+            jnp.broadcast_to(ye[1:][None, :, None], shp).reshape(-1),
+            jnp.broadcast_to(ze[:-1][:, None, None], shp).reshape(-1),
+            jnp.broadcast_to(ze[1:][:, None, None], shp).reshape(-1),
         )
         if problem == "magn":
             tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga)
@@ -263,7 +273,8 @@ def lattice_rows_for_point(
             quad = jnp.stack(
                 P.gradi_full_quad(x, y, z, *ga), axis=-1
             )[..., None, :]
-        mask = P.far_mask(x, y, z, *ga)  # (nz, ny, nx)
+        quad = quad.reshape(shp + quad.shape[1:])
+        mask = P.far_mask(x, y, z, *ga).reshape(shp)
         return jnp.where(mask[..., None, None], quad, rows)
 
     cx = (x - xe)[None, None, :]
@@ -597,23 +608,28 @@ def make_matrixfree_kernel(
             or (phys.problem == "magn" and not phys.handle_inside)
         )
     )
-    # The blended LATTICE program hard-crashes the TPU worker above ~2M
-    # cells (reproduced at 200x200x100 with chunks 16 AND 8, while the
-    # same run with farFieldQuad=0 completes — 2026-08-21; works at 1M).
-    # Until the runtime defect is understood, gate the blend off for huge
-    # lattice operators and say so: the operator then carries the known
-    # f32 far-field cancellation error (~3.5e-5 relerr vs f64; BASELINE
-    # round-2 accuracy table) — on gridded surveys prefer the BTTB
-    # operator, which is exact-f64-table physics at any size.
+    # The blended LATTICE operator crashes the TPU worker above ~2M
+    # cells INSIDE THE FUSED SOLVE (reproduced at 200x200x100 with both
+    # the broadcast-triplet and the flat-(N,) quad formulations, chunks
+    # 16 and 8, 2026-08-21) while STANDALONE blended matvec AND rmatvec
+    # at 4M run fine (0.38 s warm each, probed) — the composed
+    # LSQR-while-loop program is the trigger, pointing at a runtime/
+    # compiler defect for very large composed programs rather than the
+    # blend math. Until it is root-caused, gate the blend off for huge
+    # lattice operators with a loud warning: the operator then carries
+    # the known f32 far-field cancellation error (~3.5e-5 relerr vs f64;
+    # BASELINE round-2 accuracy table) — on gridded surveys prefer the
+    # BTTB operator, which is exact-f64-table physics at any size.
     LATTICE_BLEND_MAX_CELLS = 2_000_000
     lattice_far_quad = phys.far_quad
     if lattice_far_quad and N > LATTICE_BLEND_MAX_CELLS:
         print(
             f"WARNING: disabling the far-field quadrature blend for the "
             f"corner-lattice operator at {N} cells (> "
-            f"{LATTICE_BLEND_MAX_CELLS}: blended programs crash the TPU "
-            f"worker at this scale); far-field f32 accuracy is reduced — "
-            f"prefer the BTTB operator on gridded surveys.", flush=True,
+            f"{LATTICE_BLEND_MAX_CELLS}: blended fused-solve programs "
+            f"crash the TPU worker at this scale); far-field f32 accuracy "
+            f"is reduced — prefer the BTTB operator on gridded surveys.",
+            flush=True,
         )
         lattice_far_quad = False
     if lattice_ok:
