@@ -774,10 +774,12 @@ def test_lattice_f32_far_quad_blend_families(problem, data_type, nmc, ndc):
 
 def test_lattice_blend_gated_off_at_huge_n(capsys):
     """Above ~2M cells the blended lattice operator crashes the TPU
-    worker inside the fused solve (standalone matvec/rmatvec at 4M are
-    fine — the composed program is the trigger; reproduced live with
-    both quad formulations) — the factory must gate far_quad off with a
-    loud warning at that scale, and keep it on below."""
+    worker inside the product solver programs — host-driven AND fused
+    (standalone matvec/rmatvec and a bare jitted lsqr_solve while_loop
+    at 4M are fine; the composed solver program is the trigger,
+    reproduced live with both quad formulations) — the factory must gate
+    far_quad off with a loud warning at that scale, and keep it on
+    below."""
     """Above ~2M cells the blended lattice program hard-crashes the TPU
     worker (reproduced live at 200x200x100; fine at 1M) — the factory
     must gate far_quad off with a loud warning at that scale, and keep
@@ -787,7 +789,7 @@ def test_lattice_blend_gated_off_at_huge_n(capsys):
     from tomofastx_tpu.models.grid import Grid
     from tomofastx_tpu.ops.matrixfree import LatticeMatrixFreeKernel
 
-    def build(nx, ny, nz):
+    def build(nx, ny, nz, fused=False):
         n = nx * ny * nz
         h = 100.0
         i = np.tile(np.arange(nx), ny * nz)
@@ -806,11 +808,11 @@ def test_lattice_blend_gated_off_at_huge_n(capsys):
         cw = np.ones(n)
         return make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
                                       jnp.float32, force_no_fft=True,
-                                      validate=False)
+                                      validate=False, in_fused_program=fused)
 
     small = build(32, 32, 8)
     assert isinstance(small, LatticeMatrixFreeKernel) and small.far_quad
 
-    big = build(160, 160, 100)  # 2.56M cells > the 2M gate
+    big = build(160, 160, 100)  # 2.56M cells > the gate, any context
     assert isinstance(big, LatticeMatrixFreeKernel) and not big.far_quad
     assert "disabling the far-field quadrature blend" in capsys.readouterr().out

@@ -332,6 +332,7 @@ def solve_problem_joint_gravmag(
                 par, ctx.model.grid, ctx.data, ctx.column_weight,
                 ipar.problem_weight[i], ctx.data.weight, solve_dtype,
                 pad_cells_to=(mesh.devices.size if mesh is not None else 1),
+                in_fused_program=bool(fused_chunk),
             )
             log(f"  {PROBLEM_PREFIX[i]} kernel: matrix-free "
                 f"({type(ctx.operator).__name__}, no row storage)")
@@ -587,6 +588,7 @@ def solve_problem_joint_gravmag(
                     ctx.model.grid, ctx.data, ctx.column_weight,
                     ipar.problem_weight[i], ctx.data.weight, solve_dtype,
                     pad_cells_to=(mesh.devices.size if mesh is not None else 1),
+                    in_fused_program=bool(fused_chunk),
                 )
 
 

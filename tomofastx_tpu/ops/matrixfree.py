@@ -497,6 +497,7 @@ def make_matrixfree_kernel(
     par, grid, data, column_weight, problem_weight, data_weight, dtype=jnp.float32,
     chunk=None, pad_cells_to: int = 1, validate: bool = True,
     force_generic: bool = False, force_no_fft: bool = False,
+    in_fused_program: bool = False,
 ) -> "MatrixFreeKernel | LatticeMatrixFreeKernel":
     """Build the operator from the problem description (no kernel storage).
 
@@ -609,26 +610,30 @@ def make_matrixfree_kernel(
         )
     )
     # The blended LATTICE operator crashes the TPU worker above ~2M
-    # cells INSIDE THE FUSED SOLVE (reproduced at 200x200x100 with both
-    # the broadcast-triplet and the flat-(N,) quad formulations, chunks
-    # 16 and 8, 2026-08-21) while STANDALONE blended matvec AND rmatvec
-    # at 4M run fine (0.38 s warm each, probed) — the composed
-    # LSQR-while-loop program is the trigger, pointing at a runtime/
-    # compiler defect for very large composed programs rather than the
-    # blend math. Until it is root-caused, gate the blend off for huge
-    # lattice operators with a loud warning: the operator then carries
-    # the known f32 far-field cancellation error (~3.5e-5 relerr vs f64;
-    # BASELINE round-2 accuracy table) — on gridded surveys prefer the
-    # BTTB operator, which is exact-f64-table physics at any size.
+    # cells inside the PRODUCT SOLVER programs — both the host-driven
+    # per-major-iteration make_solver program and the fused scan
+    # (reproduced at 200x200x100 with both the broadcast-triplet and the
+    # flat-(N,) quad formulations, chunks 16 and 8, 2026-08-21) — while
+    # standalone blended matvec/rmatvec AND a bare jitted 20-iteration
+    # lsqr_solve while_loop over the same operator all run fine at 4M
+    # (probed, 0.38-2.4 s warm). The trigger is the larger composed
+    # solver program (LSQR + constraint operators + costs), not the
+    # blend math. Until root-caused, gate the blend off for huge lattice
+    # operators with a loud warning: the operator then carries the known
+    # f32 far-field cancellation error (~3.5e-5 relerr vs f64) — on
+    # gridded surveys prefer the BTTB operator, which is exact-f64-table
+    # physics at any size. (in_fused_program is accepted for call-site
+    # documentation but does not relax the gate — the host-driven solver
+    # crashes too.)
     LATTICE_BLEND_MAX_CELLS = 2_000_000
     lattice_far_quad = phys.far_quad
     if lattice_far_quad and N > LATTICE_BLEND_MAX_CELLS:
         print(
             f"WARNING: disabling the far-field quadrature blend for the "
             f"corner-lattice operator at {N} cells (> "
-            f"{LATTICE_BLEND_MAX_CELLS}: blended fused-solve programs "
-            f"crash the TPU worker at this scale); far-field f32 accuracy "
-            f"is reduced — prefer the BTTB operator on gridded surveys.",
+            f"{LATTICE_BLEND_MAX_CELLS}: blended solver programs crash "
+            f"the TPU worker at this scale); far-field f32 accuracy is "
+            f"reduced — prefer the BTTB operator on gridded surveys.",
             flush=True,
         )
         lattice_far_quad = False
