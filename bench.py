@@ -40,6 +40,41 @@ COLD_WALL_BUDGET_S = 40.0
 # contains N dispatches inflates with it.
 HEALTHY_DISPATCH_S = 0.03
 
+# Per-section budgets (round-4/5 verdict item: every bench section gets a
+# budget + verdict, not just the Mansfield cold wall, so a regression in
+# any of them flips a flag instead of shipping as a silently different
+# number). Budgets are healthy-tunnel numbers from measured rounds
+# (BENCH_r04.json; lattice re-baselined after the round-5 quad+patch
+# restructure): "throughput" sections must stay >= budget*(1-tol),
+# "time" sections <= budget*(1+tol); the tunnel latency factor widens the
+# effective bound (a sick tunnel inflates walls with zero product
+# regression — same logic as the cold-wall adjudication below).
+SECTION_BUDGETS = {
+    "gemv_gflops":        {"budget": 360.0, "tol": 0.08, "kind": "throughput"},
+    "bf16_gflops":        {"budget": 500.0, "tol": 0.10, "kind": "throughput"},
+    "lattice_ms_per_iter": {"budget": 250.0, "tol": 0.15, "kind": "time"},
+    "bttb_ms_per_iter":   {"budget": 0.30,  "tol": 0.30, "kind": "time"},
+}
+
+
+def section_verdict(name, value, latency_factor):
+    """'ok' | 'tunnel_latency' | 'regressed' for a measured section value
+    against its stored budget, tunnel-health-normalized."""
+    s = SECTION_BUDGETS[name]
+    if s["kind"] == "throughput":
+        ok_at = s["budget"] * (1.0 - s["tol"])
+        if value >= ok_at:
+            return "ok"
+        if value >= ok_at / latency_factor:
+            return "tunnel_latency"
+        return "regressed"
+    ok_at = s["budget"] * (1.0 + s["tol"])
+    if value <= ok_at:
+        return "ok"
+    if value <= ok_at * latency_factor:
+        return "tunnel_latency"
+    return "regressed"
+
 
 class CompileCounter(logging.Handler):
     """Counts persistent-compile-cache hits and misses per bench phase.
@@ -59,13 +94,18 @@ class CompileCounter(logging.Handler):
 
     def install(self):
         self._logger.addHandler(self)
+        self._prev_level = self._logger.level
         if self._logger.level > logging.DEBUG or self._logger.level == 0:
-            self._prev_level = self._logger.level
             self._logger.setLevel(logging.DEBUG)
         # Do not propagate our DEBUG records to the root handler's stderr.
         self._prev_propagate = self._logger.propagate
         self._logger.propagate = False
         return self
+
+    def uninstall(self):
+        self._logger.removeHandler(self)
+        self._logger.setLevel(self._prev_level)
+        self._logger.propagate = self._prev_propagate
 
     def emit(self, record):
         msg = record.getMessage()
@@ -297,6 +337,35 @@ def main():
         "vs_baseline_estimated": True,
         "detail": detail,
     }
+    # Per-section budget adjudication (see SECTION_BUDGETS). The small
+    # variant runs a different shape, so budgets only apply to the full
+    # bench.
+    if not small:
+        verdicts = {}
+        verdicts["gemv_gflops"] = section_verdict(
+            "gemv_gflops", gflops, latency_factor)
+        if detail.get("bf16_storage"):
+            verdicts["bf16_gflops"] = section_verdict(
+                "bf16_gflops", detail["bf16_storage"]["gflops_per_chip"],
+                latency_factor)
+        if detail.get("corner_lattice"):
+            verdicts["lattice_ms_per_iter"] = section_verdict(
+                "lattice_ms_per_iter",
+                detail["corner_lattice"]["ms_per_lsqr_iter"], latency_factor)
+        if detail.get("bttb"):
+            verdicts["bttb_ms_per_iter"] = section_verdict(
+                "bttb_ms_per_iter", detail["bttb"]["ms_per_lsqr_iter"],
+                latency_factor)
+        record["section_budgets"] = {
+            k: SECTION_BUDGETS[k]["budget"] for k in verdicts}
+        record["section_verdicts"] = verdicts
+        record["any_section_regressed"] = any(
+            v == "regressed" for v in verdicts.values())
+        for k, v in verdicts.items():
+            if v != "ok":
+                _log(f"[bench] section {k}: verdict={v} "
+                     f"(budget {SECTION_BUDGETS[k]['budget']}, "
+                     f"latency factor {latency_factor:.2f}x)")
     # Cold/warm product walls are FIRST-CLASS fields (round-2 verdict: the
     # flat GEMV headline hid the product numbers in detail). Cold = full
     # Mansfield run in a fresh-process-equivalent state with a warm

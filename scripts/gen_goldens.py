@@ -62,6 +62,19 @@ FIXTURES = [
     # perturbs a single ulp fails at rtol 1e-10 after 100 LSQR iters).
     ("parfiles/Parfile_mansf_slice.txt#f32quad", 2,
      {"compute_dtype": "float32"}),
+    # Reconstructed-fixture parfiles (round-5 verdict item 6): the three
+    # stripped-model parfiles run through scripts/reconstruct_fixtures.py's
+    # deterministic overlay, pinning the magnetization-vector x remanence x
+    # WAVELET_DOMAIN x type-2-distance-weighting x dynamic-ADMM-on-real-
+    # data paths like the other 13 (16/16 runnable parfiles golden-pinned).
+    # Iteration counts trimmed for CI (full-count e2e runs: RESULTS.md).
+    ("parfiles/Parfile_2body_induced.txt#overlay", 1,
+     {"_overlay": True, "niter": 15}),
+    ("parfiles/Parfile_2body_remanent.txt#overlay", 1,
+     {"_overlay": True, "niter": 15}),
+    # 2 majors so the dynamic ADMM weight adjustment executes once.
+    ("parfiles/Parfile_magbubble_slice.txt#overlay", 2,
+     {"_overlay": True, "niter": 15}),
 ]
 
 
@@ -81,12 +94,20 @@ def run_one(parfile, niter, overrides=None):
     from tomofastx_tpu.config.parfile import read_parfile
     from tomofastx_tpu.inversion.workflow import solve_problem_joint_gravmag
 
-    cfg = read_parfile(os.path.join(REF, parfile.split("#")[0]))
+    base = REF
+    if (overrides or {}).get("_overlay"):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        from reconstruct_fixtures import ensure_overlay
+
+        base = ensure_overlay()
+    cfg = read_parfile(os.path.join(base, parfile.split("#")[0]))
     tmp = tempfile.mkdtemp()
     cfg.path_output = tmp + "/"
     cfg.inversion.ninversions = niter
     kwargs = {}
     for k, v in (overrides or {}).items():
+        if k == "_overlay":
+            continue
         if k == "compute_dtype":  # solver kwarg, not a config field
             import jax.numpy as jnp
 
@@ -99,7 +120,7 @@ def run_one(parfile, niter, overrides=None):
                 setattr(obj, k, v)
                 hit = True
         assert hit, k
-    res = solve_problem_joint_gravmag(cfg, base_dir=REF, verbose=False, **kwargs)
+    res = solve_problem_joint_gravmag(cfg, base_dir=base, verbose=False, **kwargs)
 
     costs_rows = []
     with open(os.path.join(tmp, "costs.txt")) as f:
@@ -119,13 +140,24 @@ def run_one(parfile, niter, overrides=None):
 
 
 def main():
+    # --only <substring>: regenerate just the matching fixtures, merging
+    # into the existing goldens.json (used for the slow overlay fixtures
+    # so adding them does not re-pin the other 13).
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2]
+    out = os.path.join(REPO, "tests", "goldens.json")
     goldens = {}
+    if only and os.path.exists(out):
+        with open(out) as f:
+            goldens = json.load(f)
     for fix in FIXTURES:
         parfile, niter = fix[0], fix[1]
+        if only and only not in parfile:
+            continue
         overrides = fix[2] if len(fix) > 2 else None
         print(f"[goldens] {parfile} ({niter} iters)...", flush=True)
         goldens[parfile] = run_one(parfile, niter, overrides)
-    out = os.path.join(REPO, "tests", "goldens.json")
     with open(out, "w") as f:
         json.dump(goldens, f, indent=1)
     print(f"[goldens] wrote {out}")

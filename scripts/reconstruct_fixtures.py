@@ -215,6 +215,19 @@ def build_overlay(overlay):
     magbubble_fixture(os.path.join(overlay, "data/gravmag/magbubble_slice"))
 
 
+def ensure_overlay(overlay="/tmp/reference_overlay_goldens"):
+    """Idempotent overlay build for the golden runner/tests: builds once
+    per machine (marker file), returns the overlay path. The
+    reconstruction is deterministic (pure numpy from surviving reference
+    files), so goldens pinned against it are stable."""
+    marker = os.path.join(overlay, ".complete")
+    if not os.path.exists(marker):
+        build_overlay(overlay)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return overlay
+
+
 def main():
     overlay = sys.argv[1] if len(sys.argv) > 1 else "/tmp/reference_overlay"
     # Replace stale symlinks-only overlay safely.

@@ -286,3 +286,71 @@ def test_mansfield_truth_correlation_compensated_f32(tmp_path):
         f"far-field quadrature no longer changes the result "
         f"({corr_q:.4f} vs {corr_p:.4f}) — blend wiring broken?"
     )
+
+
+def test_refine_forward_double_wiring(tmp_path):
+    """tpu.refineForwardPrecision = double (round-5 verdict item 3): f32
+    LSQR inner solves with f64 exact-physics refinement residuals = true
+    mixed-precision iterative refinement. At CI iteration counts the cost
+    is compression-error-limited so the f64-vs-f32 refinement gap is not
+    visible (the floor quantification runs on the TPU at full depth —
+    BASELINE.md 'f32-solve misfit floor'); here we pin the WIRING: the
+    forward operator must actually be f64, the run must complete with
+    mixed dtypes through the fused loop, and the result must track the
+    f32-refined run (same physics, different rounding)."""
+    import jax.numpy as jnp
+
+    def run(refine_precision, tag, majors=6, fused=0):
+        cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+        cfg.path_output = str(tmp_path) + f"/{tag}/"
+        cfg.inversion.ninversions = majors
+        cfg.grav.refine_forward = 1
+        cfg.magn.refine_forward = 1
+        cfg.grav.refine_forward_precision = refine_precision
+        cfg.magn.refine_forward_precision = refine_precision
+        return solve_problem_joint_gravmag(
+            cfg, base_dir=REF, verbose=False, fused_chunk=fused,
+            solve_dtype=jnp.float32, compute_dtype=jnp.float32,
+        )
+
+    res_s = run("single", "ref_single")
+    res_d = run("double", "ref_double")
+    res_df = run("double", "ref_double_fused", fused=6)
+    # Same exact physics, different refinement rounding: results must
+    # agree to f32 levels, and the double path must not regress.
+    np.testing.assert_allclose(res_d.models[0].val, res_s.models[0].val,
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(res_df.models[0].val, res_d.models[0].val,
+                               rtol=2e-3, atol=1e-4)
+    assert res_d.cost_data[0] < 1e-2 and np.isfinite(res_d.cost_data[0])
+
+
+def test_refine_forward_precision_builds_f64_op(tmp_path, monkeypatch):
+    """The refineForwardPrecision=double knob must build the forward
+    operator in f64 (not the solve dtype)."""
+    import jax.numpy as jnp
+
+    from tomofastx_tpu.ops import matrixfree as mf
+
+    seen = {}
+    real = mf.make_matrixfree_kernel
+
+    def spy(par, grid, data, cw, pw, dw, dtype, **kw):
+        seen.setdefault("dtypes", []).append(jnp.dtype(dtype).name)
+        return real(par, grid, data, cw, pw, dw, dtype, **kw)
+
+    monkeypatch.setattr(mf, "make_matrixfree_kernel", spy)
+    # workflow imports the symbol inside the refine block (from-import),
+    # so patch the module attribute it resolves at call time.
+    cfg = read_parfile(f"{REF}/parfiles/Parfile_mansf_slice.txt")
+    cfg.path_output = str(tmp_path) + "/out/"
+    cfg.inversion.ninversions = 1
+    cfg.grav.refine_forward = 1
+    cfg.magn.refine_forward = 1
+    cfg.grav.refine_forward_precision = "double"
+    cfg.magn.refine_forward_precision = "double"
+    solve_problem_joint_gravmag(
+        cfg, base_dir=REF, verbose=False,
+        solve_dtype=jnp.float32, compute_dtype=jnp.float32,
+    )
+    assert "float64" in seen.get("dtypes", []), seen

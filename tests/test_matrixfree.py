@@ -772,18 +772,12 @@ def test_lattice_f32_far_quad_blend_families(problem, data_type, nmc, ndc):
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-12 * np.abs(b).max())
 
 
-def test_lattice_blend_gated_off_at_huge_n(capsys):
-    """Above ~2M cells the blended lattice operator crashes the TPU
-    worker inside the product solver programs — host-driven AND fused
-    (standalone matvec/rmatvec and a bare jitted lsqr_solve while_loop
-    at 4M are fine; the composed solver program is the trigger,
-    reproduced live with both quad formulations) — the factory must gate
-    far_quad off with a loud warning at that scale, and keep it on
-    below."""
-    """Above ~2M cells the blended lattice program hard-crashes the TPU
-    worker (reproduced live at 200x200x100; fine at 1M) — the factory
-    must gate far_quad off with a loud warning at that scale, and keep
-    it on below."""
+def test_lattice_blend_stays_on_at_huge_n():
+    """Round 5 removed the >2M blend gate: the quad+patch structure pays
+    ONE full-grid evaluation (the flat formulation proven crash-free at
+    4M cells) plus a tiny near window, and hardware re-validation at
+    4M/8M passed (scripts/run_4m_matrixfree.py) — the factory must
+    keep far_quad ON at any size and attach the window geometry."""
     from tomofastx_tpu.config.parfile import GravParams
     from tomofastx_tpu.models.data import SurveyData
     from tomofastx_tpu.models.grid import Grid
@@ -812,7 +806,194 @@ def test_lattice_blend_gated_off_at_huge_n(capsys):
 
     small = build(32, 32, 8)
     assert isinstance(small, LatticeMatrixFreeKernel) and small.far_quad
+    assert small.win is not None and small.wi0 is not None
+    assert small.wi0.shape[1] == 3
 
-    big = build(160, 160, 100)  # 2.56M cells > the gate, any context
-    assert isinstance(big, LatticeMatrixFreeKernel) and not big.far_quad
-    assert "disabling the far-field quadrature blend" in capsys.readouterr().out
+    big = build(160, 160, 100)  # 2.56M cells — above the removed gate
+    assert isinstance(big, LatticeMatrixFreeKernel) and big.far_quad
+    assert big.win is not None and big.wi0 is not None
+
+def _mk_lattice(nx, ny, nz, hx=100.0, hy=130.0, stretch=False, nd=6):
+    """Tensor-product lattice fixture (optionally z-stretched) + a small
+    clustered survey so most cells are far field."""
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+
+    xe = np.arange(nx + 1) * hx
+    ye = np.arange(ny + 1) * hy
+    if stretch:
+        ze = np.concatenate([[0.0], np.cumsum(50.0 * 1.3 ** np.arange(nz))])
+    else:
+        ze = np.arange(nz + 1) * 80.0
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    grid = Grid(nx=nx, ny=ny, nz=nz, X1=xe[i], X2=xe[i + 1],
+                Y1=ye[j], Y2=ye[j + 1], Z1=ze[k], Z2=ze[k + 1])
+    data = SurveyData(ndata=nd, ncomponents=1)
+    data.X = (np.arange(nd) + 0.37) * hx / 2.0
+    data.Y = np.full(nd, 1.6 * hy)
+    data.Z = np.full(nd, -1.0)
+    return grid, data, (xe, ye, ze)
+
+
+@pytest.mark.parametrize("problem,data_type,nmc,ndc,stretch", [
+    ("grav", 1, 1, 1, False),
+    ("grav", 1, 1, 1, True),
+    ("grav", 2, 1, 6, False),
+    ("magn", 1, 1, 1, True),
+    ("magn", 1, 3, 3, False),
+])
+def test_lattice_quad_patch_equals_select(problem, data_type, nmc, ndc, stretch):
+    """The round-5 quad-everywhere + windowed-correction operator must
+    reproduce the evaluate-both-then-select blend reference (quadrature
+    on far cells, closed forms on near cells) through matvec AND rmatvec
+    — for every physics family and on a non-uniform (z-stretched) lattice
+    where the window sizes differ per axis. The correction form computes
+    closed = quad + (closed - quad), so agreement is to f32
+    rounding of that reassociation, not bitwise."""
+    from tomofastx_tpu.config.parfile import GravParams, MagParams
+    from tomofastx_tpu.ops import prism as P
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        _lattice_closed_rows,
+        _lattice_quad_rows,
+        make_matrixfree_kernel,
+    )
+
+    grid, data, (xe, ye, ze) = _mk_lattice(24, 5, 4, stretch=stretch)
+    n = grid.nelements_total
+    cls = MagParams if problem == "magn" else GravParams
+    par = cls(nx=grid.nx, ny=grid.ny, nz=grid.nz, ndata=data.ndata,
+              depth_weighting_type=1, Z0=0.1, depth_weighting_power=2.0)
+    par.data_type = data_type
+    par.nmodel_components = nmc
+    par.ndata_components = ndc
+    data.ncomponents = ndc
+    cw = np.ones(n)
+    dw = np.ones((data.ndata, ndc))
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float32,
+                                force_no_fft=True, validate=False)
+    assert isinstance(op, LatticeMatrixFreeKernel) and op.far_quad
+    assert op.win is not None and all(w >= 1 for w in op.win)
+
+    dtype = jnp.float32
+    xej, yej, zej = op.xe, op.ye, op.ze
+    magv, intensity = op.magv, op.intensity
+
+    # Dense select-form reference rows per observation point (f32 values,
+    # f64 accumulation).
+    shp = (grid.nz, grid.ny, grid.nx)
+    ga = (
+        jnp.broadcast_to(xej[:-1][None, None, :], shp).reshape(-1),
+        jnp.broadcast_to(xej[1:][None, None, :], shp).reshape(-1),
+        jnp.broadcast_to(yej[:-1][None, :, None], shp).reshape(-1),
+        jnp.broadcast_to(yej[1:][None, :, None], shp).reshape(-1),
+        jnp.broadcast_to(zej[:-1][:, None, None], shp).reshape(-1),
+        jnp.broadcast_to(zej[1:][:, None, None], shp).reshape(-1),
+    )
+    rng = np.random.default_rng(5)
+    xvec = rng.normal(size=(nmc * n,))
+    uvec = rng.normal(size=(data.ndata * ndc,))
+    rows_all = []
+    for p in range(data.ndata):
+        x, y, z = (dtype(data.X[p]), dtype(data.Y[p]), dtype(data.Z[p]))
+        closed = np.asarray(_lattice_closed_rows(
+            xej, yej, zej, x, y, z, problem, data_type, magv, intensity,
+            nmc, ndc))
+        quad = np.asarray(_lattice_quad_rows(
+            xej, yej, zej, x, y, z, problem, data_type, magv, intensity,
+            nmc, ndc))
+        far = np.asarray(P.far_mask(x, y, z, *ga)).reshape(shp)
+        rows_all.append(np.where(far[..., None, None], quad, closed))
+        assert far.any() and (~far).any()
+    rows_all = np.asarray(rows_all, np.float64)  # (nd, nz, ny, nx, nmc, ndc)
+
+    xw = xvec.reshape(nmc, n).reshape(nmc, *shp)
+    want_d = np.einsum("bzyxkd,kzyx->bd", rows_all, xw).reshape(-1)
+    got_d = np.asarray(op.matvec(jnp.asarray(xvec, dtype)), np.float64)
+    np.testing.assert_allclose(got_d, want_d, rtol=2e-4,
+                               atol=1e-4 * np.abs(want_d).max())
+
+    u2 = uvec.reshape(data.ndata, ndc)
+    want_g = np.einsum("bd,bzyxkd->kzyx", u2, rows_all).reshape(-1)
+    got_g = np.asarray(op.rmatvec(jnp.asarray(uvec, dtype)), np.float64)
+    np.testing.assert_allclose(got_g, want_g, rtol=2e-4,
+                               atol=1e-4 * np.abs(want_g).max())
+
+
+def test_generic_quad_patch_equals_select(tmp_path):
+    """The generic operator's quad-everywhere + K-nearest correction must
+    reproduce forward_rows(far_quad=True)'s evaluate-both select through
+    matvec AND rmatvec (same selection set; values to f32 reassociation
+    rounding) — including on the padded dummy cells/rows."""
+    from tomofastx_tpu.ops.matrixfree import MatrixFreeKernel
+    from tomofastx_tpu.ops.sensitivity import forward_rows
+
+    par, grid, data, cw = _setup(tmp_path, "grav")
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                jnp.float32, force_generic=True,
+                                force_no_fft=True, validate=False)
+    assert isinstance(op, MatrixFreeKernel)
+    assert op.phys.far_quad and op.near_idx is not None
+    assert op.near_idx.shape[0] == op.xd.shape[0]
+
+    # Dense select-form reference (the build's blend semantics) applied
+    # through the same weights/padding as the operator.
+    rows = []
+    for p in range(op.xd.shape[0]):
+        rows.append(np.asarray(forward_rows(
+            op.phys.problem, op.phys.data_type, op.phys.nmc, op.phys.ndc,
+            op.phys.magv, op.phys.intensity, op.phys.handle_inside,
+            op.grid6, op.xd[p], op.yd[p], op.zd[p], far_quad=True,
+        )))
+    rows = np.asarray(rows, np.float64)  # (nd_pad, N, nmc, ndc)
+    cwn = np.asarray(op.cw, np.float64)
+    row_w = np.asarray(op.row_w, np.float64)
+
+    rng = np.random.default_rng(4)
+    xvec = rng.normal(size=(op.ncols,))
+    uvec = rng.normal(size=(op.nrows * op.phys.ndc,))
+
+    xw = cwn[None, :] * xvec.reshape(op.phys.nmc, -1)
+    want_d = (np.einsum("bnkd,kn->bd", rows, xw)
+              * row_w)[: op.nrows].reshape(-1)
+    got_d = np.asarray(op.matvec(jnp.asarray(xvec, jnp.float32)), np.float64)
+    np.testing.assert_allclose(got_d, want_d, rtol=2e-4,
+                               atol=1e-4 * np.abs(want_d).max())
+
+    u_pad = np.zeros((op.xd.shape[0], op.phys.ndc))
+    u_pad[: op.nrows] = uvec.reshape(op.nrows, op.phys.ndc)
+    u_pad *= row_w
+    want_g = (cwn[None, :] * np.einsum("bnkd,bd->kn", rows, u_pad)).reshape(-1)
+    got_g = np.asarray(op.rmatvec(jnp.asarray(uvec, jnp.float32)), np.float64)
+    np.testing.assert_allclose(got_g, want_g, rtol=2e-4,
+                               atol=1e-4 * np.abs(want_g).max())
+
+
+def test_generic_patch_matvec_accuracy(tmp_path):
+    """Matvec-level: the patched generic f32 operator must track the f64
+    exact operator as well as the round-4 evaluate-both blend did
+    (~1e-5 relative) on an elongated grid with far-field-dominated rows."""
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.config.parfile import GravParams
+
+    grid, data, _ = _mk_lattice(96, 4, 4, stretch=True, nd=8)
+    n = grid.nelements_total
+    par = GravParams(nx=grid.nx, ny=grid.ny, nz=grid.nz, ndata=data.ndata,
+                     depth_weighting_type=1, Z0=0.1,
+                     depth_weighting_power=2.0)
+    cw = sens.calculate_depth_weight(par, grid, data)
+    exact = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                   jnp.float64, force_generic=True,
+                                   validate=False)
+    f32 = make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                 jnp.float32, force_generic=True,
+                                 force_no_fft=True, validate=False)
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(n,))
+    ref = np.asarray(exact.matvec(jnp.asarray(x)))
+    got = np.asarray(f32.matvec(jnp.asarray(x, jnp.float32)), np.float64)
+    err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert err < 5e-5, f"patched generic f32 operator deviates {err:.2e}"

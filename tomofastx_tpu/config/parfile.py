@@ -96,6 +96,14 @@ class GravParams:
     # nor bf16 storage error caps the reachable misfit. Costs one
     # matrix-free matvec per major iteration.
     refine_forward: int = 0
+    # Precision of the tpu.refineForward exact-physics forward operator:
+    # "" = the solve dtype (round-4 behavior), "double" = emulated-f64
+    # physics for the refinement residual — true mixed-precision
+    # iterative refinement (f32 LSQR inner solves, f64 residuals), which
+    # pushes the reachable misfit floor below the f32-solve ~1e-6 class
+    # (round-5 verdict item 3; reference solves all-f64,
+    # global_typedefs.F90:39).
+    refine_forward_precision: str = ""
     # Write the sensitivity kernel disk cache after a dense build (1,
     # reference behavior: calculate_and_write_sensit always persists,
     # sensitivity_gravmag.F90:141-153). 0 skips the write: over the
@@ -531,6 +539,11 @@ def _apply_key(cfg: Config, key: str, val: str, fval, ival, sval) -> bool:
         g.sensit_write = m.sensit_write = ival(val)
     elif K == "tpu.refineForward":
         g.refine_forward = m.refine_forward = ival(val)
+    elif K == "tpu.refineForwardPrecision":
+        v = sval(val)
+        if v not in ("", "single", "double"):
+            raise ValueError(f"tpu.refineForwardPrecision must be single|double, got {v}")
+        g.refine_forward_precision = m.refine_forward_precision = v
     elif K == "tpu.latticeBuild":
         g.lattice_build = m.lattice_build = ival(val)
     elif K == "tpu.f64BuildF32Compress":

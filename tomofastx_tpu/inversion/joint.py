@@ -518,8 +518,15 @@ def make_fused_solver(spec: SystemSpec, n_steps: int):
             pre_cost_data = data_cost(arr, d_calc)
             pre_cost_model = model_cost(arr, model)
 
+            # Cast to the solve dtype at the LSQR boundary: with
+            # refineForwardPrecision=double the exact-physics d_calc is
+            # f64 and the residual carries f64 accuracy, but the inner
+            # correction solve runs in the (f32) solve dtype — classic
+            # mixed-precision iterative refinement (the cast loses only
+            # digits beyond the correction solve's own precision).
             residuals = tuple(
-                (arr["data_weight"][a] * (arr["val_meas"][a] - d_calc[a])).reshape(-1)
+                (arr["data_weight"][a] * (arr["val_meas"][a] - d_calc[a]))
+                .reshape(-1).astype(model[a].dtype)
                 for a, i in enumerate(spec.active)
             )
             arr2 = dict(arr)

@@ -583,10 +583,20 @@ def solve_problem_joint_gravmag(
                     # (stored-kernel) problem.
                     ctx.forward_op = ctx.operator
                     continue
+                # tpu.refineForwardPrecision = double: emulated-f64
+                # refinement residuals under f32 inner solves — true
+                # mixed-precision iterative refinement (the forward costs
+                # one matvec per major iteration, so the f64 emulation
+                # overhead is amortized over the whole LSQR solve).
+                fwd_dtype = (
+                    jnp.float64
+                    if getattr(ctx.par, "refine_forward_precision", "") == "double"
+                    else solve_dtype
+                )
                 ctx.forward_op = make_matrixfree_kernel(
                     _dc.replace(ctx.par, compression_type=0),
                     ctx.model.grid, ctx.data, ctx.column_weight,
-                    ipar.problem_weight[i], ctx.data.weight, solve_dtype,
+                    ipar.problem_weight[i], ctx.data.weight, fwd_dtype,
                     pad_cells_to=(mesh.devices.size if mesh is not None else 1),
                     in_fused_program=bool(fused_chunk),
                 )

@@ -48,17 +48,125 @@ class _Physics:
     far_quad: bool = False
 
 
-def _rows_for_point(phys: _Physics, grid6, x, y, z):
+def _rows_for_point(phys: _Physics, grid6, x, y, z, base_only=False):
     """(N, nmc, ndc) physics rows for one observation point — delegates to
     the shared dispatch (ops/sensitivity.py::forward_rows) so the stored
-    and matrix-free paths cannot diverge."""
-    from tomofastx_tpu.ops.sensitivity import forward_rows
+    and matrix-free paths cannot diverge.
 
+    base_only=True (the compensated-f32 operator path): return the pure
+    27-point quadrature rows for EVERY cell — the operator adds the
+    near-cell closed-form difference separately via _corr_rows_for_point
+    (see MatrixFreeKernel.matvec). The evaluate-both select
+    (far_quad=True without base_only) remains the stored-kernel build's
+    form."""
+    from tomofastx_tpu.ops.sensitivity import _forward_rows_quad, forward_rows
+
+    if base_only:
+        return _forward_rows_quad(
+            phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
+            phys.intensity, grid6, x, y, z,
+        )
     return forward_rows(
         phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
         phys.intensity, phys.handle_inside, grid6, x, y, z,
         far_quad=phys.far_quad,
     )
+
+
+def _corr_rows_for_point(phys: _Physics, grid6, x, y, z, idx):
+    """(K, nmc, ndc) near-patch CORRECTION rows on this point's candidate
+    cells (precomputed at construction by near_cell_indices):
+    where(near, closed - quad, 0), so the blended operator is
+    quad-everywhere PLUS this correction — each cell pays ONE full-grid
+    evaluation (vs the round-4 evaluate-both blend's two), and no
+    full-array scatter is needed (a vmapped full-array
+    dynamic_update_slice crashed the TPU worker at 4M cells — see
+    LatticeMatrixFreeKernel._corr_window)."""
+    from tomofastx_tpu.ops import prism
+    from tomofastx_tpu.ops.sensitivity import _forward_rows_quad, forward_rows
+
+    sub = tuple(a[idx] for a in grid6)
+    closed = forward_rows(
+        phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
+        phys.intensity, phys.handle_inside, sub, x, y, z,
+    )
+    quad_s = _forward_rows_quad(
+        phys.problem, phys.data_type, phys.nmc, phys.ndc, phys.magv,
+        phys.intensity, sub, x, y, z,
+    )
+    near = ~prism.far_mask(x, y, z, *sub)
+    return jnp.where(near[:, None, None], closed - quad_s,
+                     jnp.zeros_like(closed))
+
+
+def near_cell_indices(grid6, xd, yd, zd, chunk=512, margin=1.001):
+    """(npoints, K) int32 candidate-near cell indices for the generic
+    blended operator, computed ONCE at construction on device.
+
+    K = the max over points of the number of cells within margin * the
+    blend radius (in own-half-diagonal units, prism.far_mask criterion),
+    rounded up to a multiple of 8; for each point the K cells with the
+    largest nearness score radius^2*d2 - r2 are kept. All truly-near
+    cells fit (their count <= K by construction and their scores top the
+    ordering); the margin absorbs fusion-dependent f32 rounding between
+    this pass and the operator's runtime mask."""
+    from tomofastx_tpu.ops import prism
+
+    N = grid6[0].shape[0]
+    npts = xd.shape[0]
+    rad = prism.FAR_QUAD_RADIUS * margin
+
+    def pad_pts(a):
+        out = jnp.full(((npts + chunk - 1) // chunk) * chunk, a[0], a.dtype)
+        return out.at[:npts].set(a)
+
+    xp, yp, zp = pad_pts(xd), pad_pts(yd), pad_pts(zd)
+    nch = xp.shape[0] // chunk
+
+    @jax.jit
+    def counts(g6, xs, ys, zs):
+        def one(x, y, z):
+            return jnp.sum(
+                (~prism.far_mask(x, y, z, *g6, radius=rad)).astype(jnp.int32)
+            )
+
+        def per_chunk(args):
+            return jax.vmap(one)(*args)
+
+        return jax.lax.map(
+            per_chunk,
+            (xs.reshape(nch, chunk), ys.reshape(nch, chunk),
+             zs.reshape(nch, chunk)),
+        ).reshape(-1)
+
+    cnt = counts(grid6, xp, yp, zp)
+    K = int(jnp.max(cnt))
+    K = min(max(((K + 7) // 8) * 8, 8), N)
+
+    @jax.jit
+    def topk_idx(g6, xs, ys, zs):
+        def one(x, y, z):
+            cx = 0.5 * (g6[0] + g6[1])
+            cy = 0.5 * (g6[2] + g6[3])
+            cz = 0.5 * (g6[4] + g6[5])
+            hx = 0.5 * (g6[1] - g6[0])
+            hy = 0.5 * (g6[3] - g6[2])
+            hz = 0.5 * (g6[5] - g6[4])
+            r2 = (cx - x) ** 2 + (cy - y) ** 2 + (cz - z) ** 2
+            d2 = hx * hx + hy * hy + hz * hz
+            score = (rad * rad) * d2 - r2
+            return jax.lax.top_k(score, K)[1].astype(jnp.int32)
+
+        def per_chunk(args):
+            return jax.vmap(one)(*args)
+
+        return jax.lax.map(
+            per_chunk,
+            (xs.reshape(nch, chunk), ys.reshape(nch, chunk),
+             zs.reshape(nch, chunk)),
+        ).reshape(-1, K)
+
+    return np.asarray(topk_idx(grid6, xp, yp, zp))[:npts]
 
 
 @dataclass
@@ -81,6 +189,10 @@ class MatrixFreeKernel:
     chunk: int
     nrows: int  # true data count (unpadded)
     N_true: int = None  # logical cell count; None = no cell padding
+    # (nrows_padded, K) int32 candidate-near cell indices for the
+    # compensated-f32 quad+patch evaluation (near_cell_indices); None
+    # when phys.far_quad is off.
+    near_idx: "jax.Array | None" = None
 
     @property
     def N(self) -> int:
@@ -94,10 +206,26 @@ class MatrixFreeKernel:
     # scaffold with LatticeMatrixFreeKernel below — a change to the
     # observation padding, row-weight application, or [:nrows] slicing
     # here must be mirrored there (and vice versa).
+    @property
+    def _patched(self) -> bool:
+        return self.phys.far_quad and self.near_idx is not None
+
     def _chunk_rows(self, xs, ys, zs):
-        return jax.vmap(lambda x, y, z: _rows_for_point(self.phys, self.grid6, x, y, z))(
-            xs, ys, zs
-        )  # (chunk, N, nmc, ndc)
+        """(chunk, N, nmc, ndc) base rows: pure quadrature when the near
+        patch is active (the correction is added at the einsum level),
+        else the full forward_rows dispatch."""
+        base_only = self._patched
+        return jax.vmap(
+            lambda x, y, z: _rows_for_point(self.phys, self.grid6, x, y, z,
+                                            base_only=base_only)
+        )(xs, ys, zs)
+
+    def _idx_chunks(self, nchunks):
+        """(nchunks, chunk, K) near-candidate indices (K=1 zeros dummy
+        when the patch is off, keeping the scan operands uniform)."""
+        if self.near_idx is None:
+            return jnp.zeros((nchunks, self.chunk, 1), jnp.int32)
+        return self.near_idx.reshape(nchunks, self.chunk, -1)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         x2 = x.reshape(self.phys.nmc, -1)
@@ -108,9 +236,18 @@ class MatrixFreeKernel:
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
-            xs, ys, zs, w = args
+            xs, ys, zs, w, idx = args
             rows = self._chunk_rows(xs, ys, zs)
-            return w * jnp.einsum("bnkd,kn->bd", rows, xw)
+            d = jnp.einsum("bnkd,kn->bd", rows, xw)
+            if self._patched:
+                def corr_one(x_, y_, z_, ii):
+                    corr = _corr_rows_for_point(
+                        self.phys, self.grid6, x_, y_, z_, ii
+                    )
+                    return jnp.einsum("nkd,kn->d", corr, xw[:, ii])
+
+                d = d + jax.vmap(corr_one)(xs, ys, zs, idx)
+            return w * d
 
         parts = jax.lax.map(
             per_chunk,
@@ -119,6 +256,7 @@ class MatrixFreeKernel:
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
                 self.row_w.reshape(nchunks, self.chunk, -1),
+                self._idx_chunks(nchunks),
             ),
         )
         return parts.reshape(-1, self.phys.ndc)[: self.nrows].reshape(-1)
@@ -130,9 +268,21 @@ class MatrixFreeKernel:
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(g, args):
-            xs, ys, zs, uc = args
+            xs, ys, zs, uc, idx = args
             rows = self._chunk_rows(xs, ys, zs)
-            return g + jnp.einsum("bnkd,bd->kn", rows, uc), None
+            g = g + jnp.einsum("bnkd,bd->kn", rows, uc)
+            if self._patched:
+                def corr_one(x_, y_, z_, ii, ud):
+                    corr = _corr_rows_for_point(
+                        self.phys, self.grid6, x_, y_, z_, ii
+                    )
+                    return jnp.einsum("nkd,d->kn", corr, ud)  # (nmc, K)
+
+                vals = jax.vmap(corr_one)(xs, ys, zs, idx, uc)  # (B, nmc, K)
+                # Small scatter-add (B*K indices; duplicate indices
+                # accumulate) — not a full-array scatter.
+                g = g.at[:, idx].add(vals.transpose(1, 0, 2))
+            return g, None
 
         g0 = jnp.zeros((self.phys.nmc, self.N), u.dtype)
         g, _ = jax.lax.scan(
@@ -143,6 +293,7 @@ class MatrixFreeKernel:
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
                 u_pad.reshape(nchunks, self.chunk, -1),
+                self._idx_chunks(nchunks),
             ),
         )
         g = self.cw[None, :] * g
@@ -152,17 +303,17 @@ class MatrixFreeKernel:
 
 
 def _mfk_flatten(k: MatrixFreeKernel):
-    children = (k.grid6, k.xd, k.yd, k.zd, k.cw, k.row_w)
+    children = (k.grid6, k.xd, k.yd, k.zd, k.cw, k.row_w, k.near_idx)
     aux = (k.phys, k.chunk, k.nrows, k.N_true)
     return children, aux
 
 
 def _mfk_unflatten(aux, children):
-    grid6, xd, yd, zd, cw, row_w = children
+    grid6, xd, yd, zd, cw, row_w, near_idx = children
     phys, chunk, nrows, N_true = aux
     return MatrixFreeKernel(
         grid6=grid6, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
-        phys=phys, chunk=chunk, nrows=nrows, N_true=N_true,
+        phys=phys, chunk=chunk, nrows=nrows, N_true=N_true, near_idx=near_idx,
     )
 
 
@@ -215,22 +366,14 @@ def _diff3(F):
     return g
 
 
-def lattice_rows_for_point(
-    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc,
-    far_quad: bool = False,
+def _lattice_closed_rows(
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc
 ):
-    """Per-cell sensitivity rows for one observation point via the
-    corner-potential lattice: (nz, ny, nx, nmc, ndc). Each lattice corner's
-    antiderivative is evaluated ONCE and shared by up to 8 cells (~8x fewer
-    transcendentals than the per-cell 8-corner sums the reference loops,
-    gravity_field.f90:131-195). Shared by the matrix-free operator and the
-    dense kernel build (ops/sensitivity.py).
-
-    far_quad=True (f32 operators): overwrite cells beyond the blend
-    radius with far-field Gauss quadrature rows — the corner difference
-    has the same ~(R/h)^3 f32 cancellation amplification as the per-cell
-    closed forms (see ops/prism.py), so an f32 lattice operator's far
-    field is noise without it."""
+    """Corner-difference closed-form rows on a (sub-)lattice:
+    (nz, ny, nx, nmc, ndc). Each lattice corner's antiderivative is
+    evaluated ONCE and shared by up to 8 cells (~8x fewer transcendentals
+    than the per-cell 8-corner sums the reference loops,
+    gravity_field.f90:131-195)."""
     from tomofastx_tpu.ops.prism import (
         G_GRAV,
         combine_mag_tensor,
@@ -239,60 +382,22 @@ def lattice_rows_for_point(
         mag_corner_potentials,
     )
 
-    def blend(rows):
-        """rows: (nz, ny, nx, nmc, ndc) — overwrite far cells with the
-        quadrature evaluation (elementwise kernels broadcast over the
-        (1,1,nx)/(1,ny,1)/(nz,1,1) bound arrays at zero copy cost)."""
-        if not far_quad:
-            return rows
-        from tomofastx_tpu.ops import prism as P
-
-        # FLAT (N,) cell bounds, not the (1,1,nx)/(1,ny,1)/(nz,1,1)
-        # broadcast triplets: the broadcast-structured blend program
-        # hard-crashes the TPU worker above ~2M cells while the flat
-        # per-cell program is proven at 4M (CLAUDE.md gotcha) — and the
-        # element count is identical either way.
-        nz_, ny_, nx_ = len(ze) - 1, len(ye) - 1, len(xe) - 1
-        shp = (nz_, ny_, nx_)
-        ga = (
-            jnp.broadcast_to(xe[:-1][None, None, :], shp).reshape(-1),
-            jnp.broadcast_to(xe[1:][None, None, :], shp).reshape(-1),
-            jnp.broadcast_to(ye[:-1][None, :, None], shp).reshape(-1),
-            jnp.broadcast_to(ye[1:][None, :, None], shp).reshape(-1),
-            jnp.broadcast_to(ze[:-1][:, None, None], shp).reshape(-1),
-            jnp.broadcast_to(ze[1:][:, None, None], shp).reshape(-1),
-        )
-        if problem == "magn":
-            tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga)
-            quad = P.combine_mag_tensor(tq, uq, vq, magv, intensity, nmc, ndc)
-        elif data_type == 1:
-            quad = P.gravi_z_quad(x, y, z, *ga)[..., None, None]
-        elif ndc == 1:
-            quad = P.gradi_zz_quad(x, y, z, *ga)[..., None, None]
-        else:
-            quad = jnp.stack(
-                P.gradi_full_quad(x, y, z, *ga), axis=-1
-            )[..., None, :]
-        quad = quad.reshape(shp + quad.shape[1:])
-        mask = P.far_mask(x, y, z, *ga).reshape(shp)
-        return jnp.where(mask[..., None, None], quad, rows)
-
     cx = (x - xe)[None, None, :]
     cy = (y - ye)[None, :, None]
     cz = (z - ze)[:, None, None]
 
     if problem == "grav" and data_type == 1:
         rows = -G_GRAV * _diff3(gz_corner_potential(cx, cy, cz))
-        return blend(rows[..., None, None])
+        return rows[..., None, None]
 
     if problem == "grav":  # data_type 2: FTG
         # The gradiprism kernels flip z internally (ZZ = -(zd - Z)).
         ps = ftg_corner_potentials(cx, cy, -cz)
         if ndc == 1:  # Gzz only
             rows = -G_GRAV * _diff3(ps[2])
-            return blend(rows[..., None, None])
+            return rows[..., None, None]
         rows = jnp.stack([-G_GRAV * _diff3(pc) for pc in ps], axis=-1)
-        return blend(rows[..., None, :])
+        return rows[..., None, :]
 
     # Magnetic corner potentials are evaluated at s = corner - obs (the
     # sharmbox convention, magnetic_field.f90:330-335), NOT obs - corner:
@@ -318,7 +423,104 @@ def lattice_rows_for_point(
         (f1, -f3, -f5), (-f3, f2, -f4), (-f5, -f4, -(f1 + f2)),
         magv, intensity, nmc, ndc,
     )  # (nz+1, ny+1, nx+1, nmc, ndc)
-    return blend(_diff3(Fc))
+    return _diff3(Fc)
+
+
+def _lattice_quad_rows(
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc
+):
+    """27-point Gauss-quadrature rows for EVERY lattice cell:
+    (nz, ny, nx, nmc, ndc). FLAT (N,) cell bounds, not the
+    (1,1,nx)/(1,ny,1)/(nz,1,1) broadcast triplets: the broadcast-structured
+    program hard-crashed the TPU worker above ~2M cells while the flat
+    per-cell program is proven at 4M (CLAUDE.md gotcha) — and the element
+    count is identical either way."""
+    from tomofastx_tpu.ops import prism as P
+
+    nz_, ny_, nx_ = len(ze) - 1, len(ye) - 1, len(xe) - 1
+    shp = (nz_, ny_, nx_)
+    ga = (
+        jnp.broadcast_to(xe[:-1][None, None, :], shp).reshape(-1),
+        jnp.broadcast_to(xe[1:][None, None, :], shp).reshape(-1),
+        jnp.broadcast_to(ye[:-1][None, :, None], shp).reshape(-1),
+        jnp.broadcast_to(ye[1:][None, :, None], shp).reshape(-1),
+        jnp.broadcast_to(ze[:-1][:, None, None], shp).reshape(-1),
+        jnp.broadcast_to(ze[1:][:, None, None], shp).reshape(-1),
+    )
+    if problem == "magn":
+        tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga)
+        quad = P.combine_mag_tensor(tq, uq, vq, magv, intensity, nmc, ndc)
+    elif data_type == 1:
+        quad = P.gravi_z_quad(x, y, z, *ga)[..., None, None]
+    elif ndc == 1:
+        quad = P.gradi_zz_quad(x, y, z, *ga)[..., None, None]
+    else:
+        quad = jnp.stack(
+            P.gradi_full_quad(x, y, z, *ga), axis=-1
+        )[..., None, :]
+    return quad.reshape(shp + quad.shape[1:])
+
+
+def lattice_near_window(xe, ye, ze, xd, yd, zd, radius=None):
+    """Host-side geometry for the blended lattice operator's near patch.
+
+    Returns ((wz, wy, wx), wi0) where the static per-axis window sizes
+    cover every cell whose center lies within radius*max_half_diagonal of
+    ANY point, and wi0 (npoints, 3) holds each observation point's window
+    start indices (z, y, x). Every near cell (center distance <=
+    radius * its own half-diagonal, prism.far_mask negated) of a point is
+    guaranteed inside that point's window: near implies
+    |c_ax - t_ax| <= radius*max_half_diagonal =: D per axis, the window
+    size is the max count of cell centers in any closed interval of
+    length 2D, and the start index is clamped to keep the window in
+    range. A small relative margin on D absorbs f32-vs-f64 rounding of
+    the on-device mask at the blend boundary (a marginally-near cell
+    that escapes the window harmlessly keeps its quadrature value)."""
+    from tomofastx_tpu.ops.prism import FAR_QUAD_RADIUS
+
+    if radius is None:
+        radius = FAR_QUAD_RADIUS
+    xe = np.asarray(xe, np.float64)
+    ye = np.asarray(ye, np.float64)
+    ze = np.asarray(ze, np.float64)
+    maxh2 = (
+        np.max(0.5 * np.diff(xe)) ** 2
+        + np.max(0.5 * np.diff(ye)) ** 2
+        + np.max(0.5 * np.diff(ze)) ** 2
+    )
+    D = radius * np.sqrt(maxh2) * (1.0 + 1.0e-5)
+
+    def axis(e, t):
+        c = 0.5 * (e[:-1] + e[1:])
+        n = len(c)
+        W = int(np.max(np.searchsorted(c, c + 2.0 * D, side="right")
+                       - np.arange(n)))
+        W = max(1, min(W, n))
+        lo = np.searchsorted(c, np.asarray(t, np.float64) - D, side="left")
+        i0 = np.clip(lo, 0, n - W)
+        return W, i0.astype(np.int32)
+
+    wx, ix = axis(xe, xd)
+    wy, iy = axis(ye, yd)
+    wz, iz = axis(ze, zd)
+    return (wz, wy, wx), np.stack([iz, iy, ix], axis=1)
+
+
+def lattice_rows_for_point(
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc,
+):
+    """Per-cell CLOSED-FORM sensitivity rows for one observation point via
+    the corner-potential lattice: (nz, ny, nx, nmc, ndc). Used by the
+    dense f64 kernel build (ops/sensitivity.py) and as the near-field
+    ingredient of the blended operator. The compensated-f32 blended
+    OPERATOR does not materialize patched rows at all — it evaluates
+    quad-everywhere (_lattice_quad_rows) plus a windowed correction
+    (LatticeMatrixFreeKernel._corr_window): the first-cut row-level patch
+    (vmapped dynamic_update_slice into the full quad array) crashed the
+    TPU worker at 4M cells even in a bare LSQR program."""
+    return _lattice_closed_rows(
+        xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc,
+    )
 
 
 @dataclass
@@ -368,9 +570,16 @@ class LatticeMatrixFreeKernel:
     nmc: int = 1
     ndc: int = 1
     data_type: int = 1  # gravity: 1 = g_z, 2 = gradiometry (FTG)
-    # Compensated-f32 blend: far cells by Gauss quadrature (see
-    # lattice_rows_for_point; set for f32 operators by the factory).
+    # Compensated-f32 blend: quadrature everywhere + near-window closed
+    # patch (see lattice_rows_for_point; set for f32 operators by the
+    # factory, which also supplies win/wi0 from lattice_near_window).
     far_quad: bool = False
+    # Static (wz, wy, wx) near-patch window sizes (aux; None when
+    # far_quad is off).
+    win: "Tuple[int, int, int] | None" = None
+    # (nrows_padded, 3) int32 per-observation window start indices
+    # (child; None when far_quad is off).
+    wi0: "jax.Array | None" = None
     # Observation sharding (parallel/mesh.py::shard_kernel): when set, each
     # per-chunk batch of observation points is split across the mesh —
     # every device evaluates the corner fields for chunk/n points against
@@ -389,20 +598,61 @@ class LatticeMatrixFreeKernel:
     def ncols(self) -> int:
         return self.nmc * self.N
 
-    def _rows_for_point(self, x, y, z):
-        """Per-cell sensitivity rows for one observation point via the
-        corner-potential lattice: (nz, ny, nx, nmc, ndc)."""
-        return lattice_rows_for_point(
+    def _base_rows_for_point(self, x, y, z):
+        """(nz, ny, nx, nmc, ndc) base rows for one observation point:
+        pure 27-point quadrature when far_quad (every cell), else the
+        corner-difference closed forms."""
+        fn = _lattice_quad_rows if self.far_quad else _lattice_closed_rows
+        return fn(
             self.xe, self.ye, self.ze, x, y, z, self.problem, self.data_type,
             self.magv, self.intensity, self.nmc, self.ndc,
-            far_quad=self.far_quad,
         )
 
-    def _shard_obs(self, xs, ys, zs, w):
+    def _corr_window(self, x, y, z, i0):
+        """(wz, wy, wx, nmc, ndc) near-patch CORRECTION rows for one
+        point: where(near, closed - quad, 0) on the static window, so the
+        blended operator is base-quad-everywhere PLUS this correction.
+        The correction form exists because the round-5 first cut —
+        vmapped dynamic_update_slice of the closed rows into the full
+        quad array — crashed the TPU worker at 4M cells even in a bare
+        LSQR program (the batched full-array scatter; bisect stage A,
+        2026-08-21), while einsum contributions plus a tiny sequential
+        window update need no full-array scatter at all."""
+        from tomofastx_tpu.ops import prism as P
+
+        wz, wy, wx = self.win
+        i0z, i0y, i0x = i0[0], i0[1], i0[2]
+        xe_w = jax.lax.dynamic_slice(self.xe, (i0x,), (wx + 1,))
+        ye_w = jax.lax.dynamic_slice(self.ye, (i0y,), (wy + 1,))
+        ze_w = jax.lax.dynamic_slice(self.ze, (i0z,), (wz + 1,))
+        args = (x, y, z, self.problem, self.data_type, self.magv,
+                self.intensity, self.nmc, self.ndc)
+        closed = _lattice_closed_rows(xe_w, ye_w, ze_w, *args)
+        quad_w = _lattice_quad_rows(xe_w, ye_w, ze_w, *args)
+        cxw = 0.5 * (xe_w[:-1] + xe_w[1:])[None, None, :]
+        hxw = 0.5 * (xe_w[1:] - xe_w[:-1])[None, None, :]
+        cyw = 0.5 * (ye_w[:-1] + ye_w[1:])[None, :, None]
+        hyw = 0.5 * (ye_w[1:] - ye_w[:-1])[None, :, None]
+        czw = 0.5 * (ze_w[:-1] + ze_w[1:])[:, None, None]
+        hzw = 0.5 * (ze_w[1:] - ze_w[:-1])[:, None, None]
+        r2 = (cxw - x) ** 2 + (cyw - y) ** 2 + (czw - z) ** 2
+        d2 = hxw * hxw + hyw * hyw + hzw * hzw
+        near = r2 <= (P.FAR_QUAD_RADIUS * P.FAR_QUAD_RADIUS) * d2
+        return jnp.where(near[..., None, None], closed - quad_w,
+                         jnp.zeros_like(closed))
+
+    def _wi0_chunks(self, nchunks):
+        """(nchunks, chunk, 3) window starts (zeros when far_quad off —
+        a dummy scan operand keeps the chunk plumbing uniform)."""
+        if self.wi0 is None:
+            return jnp.zeros((nchunks, self.chunk, 3), jnp.int32)
+        return self.wi0.reshape(nchunks, self.chunk, 3)
+
+    def _shard_obs(self, xs, ys, zs, w, i0):
         """Constrain one chunk's observation batch to split over the mesh
         (no-op when unmeshed)."""
         if self.mesh is None:
-            return xs, ys, zs, w
+            return xs, ys, zs, w, i0
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         # All mesh axes together: on a 2-D (obs x cells) mesh the
@@ -411,7 +661,7 @@ class LatticeMatrixFreeKernel:
         s1 = NamedSharding(self.mesh, P(ax))
         s2 = NamedSharding(self.mesh, P(ax, None))
         c = jax.lax.with_sharding_constraint
-        return c(xs, s1), c(ys, s1), c(zs, s1), c(w, s2)
+        return c(xs, s1), c(ys, s1), c(zs, s1), c(w, s2), c(i0, s2)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         x2 = x.reshape(self.nmc, self.N)
@@ -419,13 +669,25 @@ class LatticeMatrixFreeKernel:
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(args):
-            xs, ys, zs, w = self._shard_obs(*args)
-            d = jax.vmap(
-                lambda xx, yy, zz: jnp.einsum(
-                    "zyxkd,kzyx->d", self._rows_for_point(xx, yy, zz), y
+            xs, ys, zs, w, i0 = self._shard_obs(*args)
+
+            def one(xx, yy, zz, ii):
+                d = jnp.einsum(
+                    "zyxkd,kzyx->d", self._base_rows_for_point(xx, yy, zz), y
                 )
-            )(xs, ys, zs)
-            return w * d
+                if self.far_quad:
+                    wz, wy, wx = self.win
+                    z0 = jnp.zeros((), ii.dtype)
+                    yw = jax.lax.dynamic_slice(
+                        y, (z0, ii[0], ii[1], ii[2]),
+                        (self.nmc, wz, wy, wx),
+                    )
+                    d = d + jnp.einsum(
+                        "zyxkd,kzyx->d", self._corr_window(xx, yy, zz, ii), yw
+                    )
+                return d
+
+            return w * jax.vmap(one)(xs, ys, zs, i0)
 
         parts = jax.lax.map(
             per_chunk,
@@ -434,6 +696,7 @@ class LatticeMatrixFreeKernel:
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
                 self.row_w.reshape(nchunks, self.chunk, self.ndc),
+                self._wi0_chunks(nchunks),
             ),
         )
         return parts.reshape(-1, self.ndc)[: self.nrows].reshape(-1)
@@ -449,9 +712,25 @@ class LatticeMatrixFreeKernel:
         nchunks = self.xd.shape[0] // self.chunk
 
         def per_chunk(g, args):
-            xs, ys, zs, uc = self._shard_obs(*args)
-            rows = jax.vmap(self._rows_for_point)(xs, ys, zs)
-            return g + jnp.einsum("bd,bzyxkd->kzyx", uc, rows), None
+            xs, ys, zs, uc, i0 = self._shard_obs(*args)
+            rows = jax.vmap(self._base_rows_for_point)(xs, ys, zs)
+            g = g + jnp.einsum("bd,bzyxkd->kzyx", uc, rows)
+            if self.far_quad:
+                wz, wy, wx = self.win
+
+                def body(gc, p):
+                    xx, yy, zz, ud, ii = p
+                    corr = self._corr_window(xx, yy, zz, ii)
+                    contrib = jnp.einsum("zyxkd,d->kzyx", corr, ud)
+                    z0 = jnp.zeros((), ii.dtype)
+                    start = (z0, ii[0], ii[1], ii[2])
+                    blk = jax.lax.dynamic_slice(
+                        gc, start, (self.nmc, wz, wy, wx)
+                    ) + contrib
+                    return jax.lax.dynamic_update_slice(gc, blk, start), None
+
+                g, _ = jax.lax.scan(body, g, (xs, ys, zs, uc, i0))
+            return g, None
 
         g0 = jnp.zeros((self.nmc, self.nz, self.ny, self.nx), u.dtype)
         g3, _ = jax.lax.scan(
@@ -462,6 +741,7 @@ class LatticeMatrixFreeKernel:
                 self.yd.reshape(nchunks, self.chunk),
                 self.zd.reshape(nchunks, self.chunk),
                 u_pad.reshape(nchunks, self.chunk, self.ndc),
+                self._wi0_chunks(nchunks),
             ),
         )
         g = self.cw[None, :] * g3.reshape(self.nmc, self.N)
@@ -469,22 +749,22 @@ class LatticeMatrixFreeKernel:
 
 
 def _lmfk_flatten(k: LatticeMatrixFreeKernel):
-    children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w)
+    children = (k.xe, k.ye, k.ze, k.xd, k.yd, k.zd, k.cw, k.row_w, k.wi0)
     aux = (k.chunk, k.nrows, k.nx, k.ny, k.nz,
            k.problem, k.magv, k.intensity, k.nmc, k.ndc, k.data_type,
-           k.far_quad, k.mesh)
+           k.far_quad, k.win, k.mesh)
     return children, aux
 
 
 def _lmfk_unflatten(aux, children):
-    xe, ye, ze, xd, yd, zd, cw, row_w = children
+    xe, ye, ze, xd, yd, zd, cw, row_w, wi0 = children
     (chunk, nrows, nx, ny, nz, problem, magv, intensity, nmc, ndc,
-     data_type, far_quad, mesh) = aux
+     data_type, far_quad, win, mesh) = aux
     return LatticeMatrixFreeKernel(
         xe=xe, ye=ye, ze=ze, xd=xd, yd=yd, zd=zd, cw=cw, row_w=row_w,
         chunk=chunk, nrows=nrows, nx=nx, ny=ny, nz=nz,
         problem=problem, magv=magv, intensity=intensity, nmc=nmc, ndc=ndc,
-        data_type=data_type, far_quad=far_quad, mesh=mesh,
+        data_type=data_type, far_quad=far_quad, win=win, wi0=wi0, mesh=mesh,
     )
 
 
@@ -565,15 +845,12 @@ def make_matrixfree_kernel(
     N = grid.nelements_total
     nd = par.ndata
     if chunk is None:
+        # The round-5 quad+patch blend pays ONE full-size rows array per
+        # chunk (like the unblended operator), so no blended-chunk
+        # halving: the round-4 evaluate-both blend that needed it (two
+        # full-grid row arrays; TPU worker crash at 4M cells, CLAUDE.md)
+        # is gone.
         chunk = max(8, min(256, (1 << 26) // max(N * phys.nmc * phys.ndc, 1)))
-        if phys.far_quad:
-            # The quad blend roughly doubles the per-chunk working set
-            # (quad rows + mask next to the closed/lattice rows and the
-            # 27-point accumulation temps). At the 4M-cell scale the
-            # default chunk made the TPU worker CRASH outright (not a
-            # graceful RESOURCE_EXHAUSTED — observed 2026-08-21); halve
-            # the chunk for blended f32 operators.
-            chunk = max(8, chunk // 2)
     nd_pad = ((nd + chunk - 1) // chunk) * chunk
 
     # Padding rows must evaluate to finite numbers (a corner-touching
@@ -609,45 +886,32 @@ def make_matrixfree_kernel(
             or (phys.problem == "magn" and not phys.handle_inside)
         )
     )
-    # The blended LATTICE operator crashes the TPU worker above ~2M
-    # cells inside the PRODUCT SOLVER programs — both the host-driven
-    # per-major-iteration make_solver program and the fused scan
-    # (reproduced at 200x200x100 with both the broadcast-triplet and the
-    # flat-(N,) quad formulations, chunks 16 and 8, 2026-08-21) — while
-    # standalone blended matvec/rmatvec AND a bare jitted 20-iteration
-    # lsqr_solve while_loop over the same operator all run fine at 4M
-    # (probed, 0.38-2.4 s warm). The trigger is the larger composed
-    # solver program (LSQR + constraint operators + costs), not the
-    # blend math. Until root-caused, gate the blend off for huge lattice
-    # operators with a loud warning: the operator then carries the known
-    # f32 far-field cancellation error (~3.5e-5 relerr vs f64) — on
-    # gridded surveys prefer the BTTB operator, which is exact-f64-table
-    # physics at any size. (in_fused_program is accepted for call-site
-    # documentation but does not relax the gate — the host-driven solver
-    # crashes too.)
-    LATTICE_BLEND_MAX_CELLS = 2_000_000
-    lattice_far_quad = phys.far_quad
-    if lattice_far_quad and N > LATTICE_BLEND_MAX_CELLS:
-        print(
-            f"WARNING: disabling the far-field quadrature blend for the "
-            f"corner-lattice operator at {N} cells (> "
-            f"{LATTICE_BLEND_MAX_CELLS}: blended solver programs crash "
-            f"the TPU worker at this scale); far-field f32 accuracy is "
-            f"reduced — prefer the BTTB operator on gridded surveys.",
-            flush=True,
-        )
-        lattice_far_quad = False
+    # History: the round-4 evaluate-both blend crashed the TPU worker
+    # above ~2M cells inside composed solver programs and was gated off
+    # at that scale (commit 1335351's diagnosis). The round-5 quad+patch
+    # structure pays one full-grid evaluation (the flat per-cell
+    # formulation proven crash-free at 4M) plus a tiny static near
+    # window, and the gate is removed — re-validated on hardware at
+    # 4M/8M cells (scripts/run_4m_matrixfree.py, round 5).
     if lattice_ok:
         lat = detect_lattice(grid)
         if lat is not None:
             xe, ye, ze = lat
+            xd_p, yd_p, zd_p = pad(data.X, far[0]), pad(data.Y, far[1]), pad(data.Z, far[2])
+            win = wi0 = None
+            if phys.far_quad:
+                win, wi0 = lattice_near_window(
+                    xe, ye, ze, np.asarray(xd_p), np.asarray(yd_p),
+                    np.asarray(zd_p),
+                )
+                wi0 = jnp.asarray(wi0)
             op = LatticeMatrixFreeKernel(
                 xe=jnp.asarray(xe, dtype),
                 ye=jnp.asarray(ye, dtype),
                 ze=jnp.asarray(ze, dtype),
-                xd=pad(data.X, far[0]),
-                yd=pad(data.Y, far[1]),
-                zd=pad(data.Z, far[2]),
+                xd=xd_p,
+                yd=yd_p,
+                zd=zd_p,
                 cw=jnp.asarray(column_weight, dtype),
                 row_w=jnp.asarray(row_w, dtype),
                 chunk=chunk,
@@ -655,7 +919,8 @@ def make_matrixfree_kernel(
                 nx=grid.nx, ny=grid.ny, nz=grid.nz,
                 problem=phys.problem, magv=phys.magv,
                 intensity=phys.intensity, nmc=phys.nmc, ndc=phys.ndc,
-                data_type=phys.data_type, far_quad=lattice_far_quad,
+                data_type=phys.data_type, far_quad=phys.far_quad,
+                win=win, wi0=wi0,
             )
             if validate:
                 probe = np.asarray(op.matvec(jnp.ones((op.ncols,), dtype)))
@@ -695,17 +960,22 @@ def make_matrixfree_kernel(
     cw_pad = np.zeros(N_pad)
     cw_pad[:N] = np.asarray(column_weight)
 
+    xd_p, yd_p, zd_p = pad(data.X, far[0]), pad(data.Y, far[1]), pad(data.Z, far[2])
+    near_idx = None
+    if phys.far_quad:
+        near_idx = jnp.asarray(near_cell_indices(grid6, xd_p, yd_p, zd_p))
     op = MatrixFreeKernel(
         grid6=grid6,
-        xd=pad(data.X, far[0]),
-        yd=pad(data.Y, far[1]),
-        zd=pad(data.Z, far[2]),
+        xd=xd_p,
+        yd=yd_p,
+        zd=zd_p,
         cw=jnp.asarray(cw_pad, dtype),
         row_w=jnp.asarray(row_w, dtype),
         phys=phys,
         chunk=chunk,
         nrows=nd,
         N_true=N,
+        near_idx=near_idx,
     )
 
     if validate:

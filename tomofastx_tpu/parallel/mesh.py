@@ -172,6 +172,10 @@ def shard_kernel(k, mesh: Mesh):
             chunk=k.chunk,
             nrows=k.nrows,
             N_true=k.N_true,
+            # Replicated per-observation candidate indices; the gather /
+            # scatter they drive runs against the cells-sharded arrays
+            # (GSPMD inserts the collectives).
+            near_idx=put(k.near_idx, P()) if k.near_idx is not None else None,
         )
 
     from tomofastx_tpu.ops.bttb import BTTBKernel
@@ -233,14 +237,27 @@ def shard_kernel(k, mesh: Mesh):
         rw = np.zeros((nd_pad, k.ndc), row_w.dtype)
         rw[: k.nrows] = row_w[: k.nrows]
 
+        xd_p, yd_p, zd_p = (repad(k.xd, far[0]), repad(k.yd, far[1]),
+                            repad(k.zd, far[2]))
+        win = wi0 = None
+        if k.far_quad:
+            # Re-derive the near-patch window starts for the re-padded
+            # observation set (pure host geometry; the window sizes are a
+            # property of the lattice alone but recomputing keeps them
+            # consistent with the starts).
+            from tomofastx_tpu.ops.matrixfree import lattice_near_window
+
+            win, wi0 = lattice_near_window(k.xe, k.ye, k.ze, xd_p, yd_p, zd_p)
+            wi0 = jnp.asarray(wi0)
+
         rep = NamedSharding(mesh, P())
         return LatticeMatrixFreeKernel(
             xe=jax.device_put(k.xe, rep),
             ye=jax.device_put(k.ye, rep),
             ze=jax.device_put(k.ze, rep),
-            xd=jax.device_put(repad(k.xd, far[0]), rep),
-            yd=jax.device_put(repad(k.yd, far[1]), rep),
-            zd=jax.device_put(repad(k.zd, far[2]), rep),
+            xd=jax.device_put(jnp.asarray(xd_p), rep),
+            yd=jax.device_put(jnp.asarray(yd_p), rep),
+            zd=jax.device_put(jnp.asarray(zd_p), rep),
             cw=jax.device_put(k.cw, rep),
             row_w=jax.device_put(jnp.asarray(rw), rep),
             chunk=new_chunk,
@@ -248,7 +265,9 @@ def shard_kernel(k, mesh: Mesh):
             nx=k.nx, ny=k.ny, nz=k.nz,
             problem=k.problem, magv=k.magv, intensity=k.intensity,
             nmc=k.nmc, ndc=k.ndc, data_type=k.data_type,
-            far_quad=k.far_quad, mesh=mesh,
+            far_quad=k.far_quad, win=win,
+            wi0=jax.device_put(wi0, rep) if wi0 is not None else None,
+            mesh=mesh,
         )
 
     # Unknown operator type: replicate.
