@@ -427,14 +427,17 @@ def _lattice_closed_rows(
 
 
 def _lattice_quad_rows(
-    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc
+    xe, ye, ze, x, y, z, problem, data_type, magv, intensity, nmc, ndc,
+    order=3,
 ):
-    """27-point Gauss-quadrature rows for EVERY lattice cell:
+    """order^3-point Gauss-quadrature rows for EVERY lattice cell:
     (nz, ny, nx, nmc, ndc). FLAT (N,) cell bounds, not the
     (1,1,nx)/(1,ny,1)/(nz,1,1) broadcast triplets: the broadcast-structured
     program hard-crashed the TPU worker above ~2M cells while the flat
     per-cell program is proven at 4M (CLAUDE.md gotcha) — and the element
-    count is identical either way."""
+    count is identical either way. order=2 is the blended operator's cheap
+    base tier (see prism.FAR_QUAD2_RADIUS_*); order=3 the accurate mid
+    tier and the dense build's far rule."""
     from tomofastx_tpu.ops import prism as P
 
     nz_, ny_, nx_ = len(ze) - 1, len(ye) - 1, len(xe) - 1
@@ -448,15 +451,15 @@ def _lattice_quad_rows(
         jnp.broadcast_to(ze[1:][:, None, None], shp).reshape(-1),
     )
     if problem == "magn":
-        tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga)
+        tq, uq, vq = P.magnetic_tensor_quad(x, y, z, *ga, order=order)
         quad = P.combine_mag_tensor(tq, uq, vq, magv, intensity, nmc, ndc)
     elif data_type == 1:
-        quad = P.gravi_z_quad(x, y, z, *ga)[..., None, None]
+        quad = P.gravi_z_quad(x, y, z, *ga, order=order)[..., None, None]
     elif ndc == 1:
-        quad = P.gradi_zz_quad(x, y, z, *ga)[..., None, None]
+        quad = P.gradi_zz_quad(x, y, z, *ga, order=order)[..., None, None]
     else:
         quad = jnp.stack(
-            P.gradi_full_quad(x, y, z, *ga), axis=-1
+            P.gradi_full_quad(x, y, z, *ga, order=order), axis=-1
         )[..., None, :]
     return quad.reshape(shp + quad.shape[1:])
 
@@ -600,18 +603,29 @@ class LatticeMatrixFreeKernel:
 
     def _base_rows_for_point(self, x, y, z):
         """(nz, ny, nx, nmc, ndc) base rows for one observation point:
-        pure 27-point quadrature when far_quad (every cell), else the
-        corner-difference closed forms."""
-        fn = _lattice_quad_rows if self.far_quad else _lattice_closed_rows
-        return fn(
+        cheap 8-point (2^3 Gauss) quadrature when far_quad (every cell;
+        accurate beyond the tier-2 window, see prism.FAR_QUAD2_RADIUS_*),
+        else the corner-difference closed forms."""
+        if self.far_quad:
+            return _lattice_quad_rows(
+                self.xe, self.ye, self.ze, x, y, z, self.problem,
+                self.data_type, self.magv, self.intensity, self.nmc,
+                self.ndc, order=2,
+            )
+        return _lattice_closed_rows(
             self.xe, self.ye, self.ze, x, y, z, self.problem, self.data_type,
             self.magv, self.intensity, self.nmc, self.ndc,
         )
 
     def _corr_window(self, x, y, z, i0):
-        """(wz, wy, wx, nmc, ndc) near-patch CORRECTION rows for one
-        point: where(near, closed - quad, 0) on the static window, so the
-        blended operator is base-quad-everywhere PLUS this correction.
+        """(wz, wy, wx, nmc, ndc) TIERED correction rows for one point:
+        where(near, closed, quad3) - quad2 on the static window, so the
+        blended operator (base-quad2-everywhere PLUS this correction)
+        evaluates closed forms within FAR_QUAD_RADIUS, the 27-point rule
+        from there to the window edge, and the cheap 8-point rule beyond
+        (every cell outside the window is >= the tier-2 radius away in
+        some axis, where the 2^3 rule's error matches the accepted
+        3^3-rule error at the near boundary — prism.FAR_QUAD2_RADIUS_*).
         The correction form exists because the round-5 first cut —
         vmapped dynamic_update_slice of the closed rows into the full
         quad array — crashed the TPU worker at 4M cells even in a bare
@@ -628,7 +642,8 @@ class LatticeMatrixFreeKernel:
         args = (x, y, z, self.problem, self.data_type, self.magv,
                 self.intensity, self.nmc, self.ndc)
         closed = _lattice_closed_rows(xe_w, ye_w, ze_w, *args)
-        quad_w = _lattice_quad_rows(xe_w, ye_w, ze_w, *args)
+        quad3_w = _lattice_quad_rows(xe_w, ye_w, ze_w, *args, order=3)
+        quad2_w = _lattice_quad_rows(xe_w, ye_w, ze_w, *args, order=2)
         cxw = 0.5 * (xe_w[:-1] + xe_w[1:])[None, None, :]
         hxw = 0.5 * (xe_w[1:] - xe_w[:-1])[None, None, :]
         cyw = 0.5 * (ye_w[:-1] + ye_w[1:])[None, :, None]
@@ -638,8 +653,9 @@ class LatticeMatrixFreeKernel:
         r2 = (cxw - x) ** 2 + (cyw - y) ** 2 + (czw - z) ** 2
         d2 = hxw * hxw + hyw * hyw + hzw * hzw
         near = r2 <= (P.FAR_QUAD_RADIUS * P.FAR_QUAD_RADIUS) * d2
-        return jnp.where(near[..., None, None], closed - quad_w,
-                         jnp.zeros_like(closed))
+        return (
+            jnp.where(near[..., None, None], closed, quad3_w) - quad2_w
+        )
 
     def _wi0_chunks(self, nchunks):
         """(nchunks, chunk, 3) window starts (zeros when far_quad off —
@@ -900,9 +916,19 @@ def make_matrixfree_kernel(
             xd_p, yd_p, zd_p = pad(data.X, far[0]), pad(data.Y, far[1]), pad(data.Z, far[2])
             win = wi0 = None
             if phys.far_quad:
+                # Window sized for the TIERED blend: it must reach the
+                # tier-2 radius (where the cheap 2^3 base rule becomes
+                # accurate), not just the closed-form near radius. The
+                # 1/r^5 tensor kernels need the larger one (calibration
+                # table at prism.FAR_QUAD2_RADIUS_*).
+                r2q = (
+                    prism.FAR_QUAD2_RADIUS_GZ
+                    if (phys.problem == "grav" and phys.data_type == 1)
+                    else prism.FAR_QUAD2_RADIUS_TENSOR
+                )
                 win, wi0 = lattice_near_window(
                     xe, ye, ze, np.asarray(xd_p), np.asarray(yd_p),
-                    np.asarray(zd_p),
+                    np.asarray(zd_p), radius=r2q,
                 )
                 wi0 = jnp.asarray(wi0)
             op = LatticeMatrixFreeKernel(

@@ -499,26 +499,49 @@ _GL3 = (
     (math.sqrt(3.0 / 5.0), 5.0 / 9.0),
 )
 
+# 2-point Gauss-Legendre rule: the cheap far tier of the TIERED blend
+# (8 rsqrt passes per cell instead of 27). Truncation error ~C (h/2R)^4.
+_GL2 = (
+    (-1.0 / math.sqrt(3.0), 1.0),
+    (1.0 / math.sqrt(3.0), 1.0),
+)
+
 # Blend radius in units of the cell half-diagonal: cells with center
 # distance R > FAR_QUAD_RADIUS * d use the quadrature, nearer cells the
 # closed form (error crossover analysis above).
 FAR_QUAD_RADIUS = 4.0
 
+# Tier-2 radius: beyond it the 2^3 rule replaces the 3^3 rule in the
+# corner-lattice blended operator (base = GL2 everywhere + one windowed
+# correction to GL3/closed inside this radius). Calibrated on a
+# 100x100x50 prism against the f64 closed forms (round 5):
+#     r/halfdiag:      8        12       16       20
+#     g_z   GL2 err:   1.2e-5   2.4e-6   7.6e-7   3.1e-7
+#     Gzz   GL2 err:   6.6e-5   1.3e-5   4.1e-6   1.7e-6
+# At the chosen radii the GL2 boundary error matches the ACCEPTED GL3
+# error at the near blend boundary r=4 (g_z 1.6e-6, Gzz 6.4e-6) and
+# falls as r^-4 beyond; the 1/r^5 tensor kernels (FTG, magnetics) need
+# the larger radius.
+FAR_QUAD2_RADIUS_GZ = 12.0
+FAR_QUAD2_RADIUS_TENSOR = 16.0
 
-def _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, point_fn, n_out):
-    """sum_i w_i * point_fn(source_i - obs) * V/8 over a 3^3 GL rule.
+
+def _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, point_fn, n_out,
+                     order=3):
+    """sum_i w_i * point_fn(source_i - obs) * V/8 over an order^3 GL rule.
 
     point_fn maps relative source coordinates (x, y, z) = (source - obs)
     to a tuple of n_out integrand arrays; returns a tuple of per-cell
-    integrals. Statically unrolled (27 fused FMA/rsqrt passes, no
+    integrals. Statically unrolled (order^3 fused FMA/rsqrt passes, no
     transcendentals) — XLA fuses this into one elementwise loop."""
+    rule = _GL3 if order == 3 else _GL2
     cx, hx = 0.5 * (X1 + X2), 0.5 * (X2 - X1)
     cy, hy = 0.5 * (Y1 + Y2), 0.5 * (Y2 - Y1)
     cz, hz = 0.5 * (Z1 + Z2), 0.5 * (Z2 - Z1)
     acc = [0.0] * n_out
-    for u, wu in _GL3:
-        for v, wv in _GL3:
-            for w, ww in _GL3:
+    for u, wu in rule:
+        for v, wv in rule:
+            for w, ww in rule:
                 x = cx + u * hx - xd
                 y = cy + v * hy - yd
                 z = cz + w * hz - zd
@@ -530,7 +553,7 @@ def _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, point_fn, n_out):
     return tuple(a * vol8 for a in acc)
 
 
-def gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+def gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     """Far-field g_z by 27-point quadrature of the point-mass integrand
     g_z = G (z_s - z_o)/r^3 (positive toward a source below in Z-down
     space, matching gravi_z; verified against the f64 closed form in
@@ -541,11 +564,12 @@ def gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         inv_r3 = jax.lax.rsqrt(r2) / r2
         return (z * inv_r3,)
 
-    (gz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1)
+    (gz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1,
+                             order=order)
     return G_GRAV * gz
 
 
-def gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+def gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     """Far-field Gzz by quadrature of G (3 z^2 - r^2)/r^5 (the second
     vertical derivative of the Newtonian potential; sign verified against
     gradi_zz's f64 closed form)."""
@@ -556,11 +580,12 @@ def gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         inv_r5 = inv_r / (r2 * r2)
         return ((3.0 * z * z - r2) * inv_r5,)
 
-    (gzz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1)
+    (gzz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1,
+                              order=order)
     return G_GRAV * gzz
 
 
-def gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+def gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     """Far-field FTG tensor (Gxx, Gyy, Gzz, Gxy, Gyz, Gzx) by quadrature
     of the Newtonian second-derivative tensor (3 r_i r_j - r^2 d_ij)/r^5;
     component signs match gradi_full's conventions (verified in tests)."""
@@ -579,14 +604,14 @@ def gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         )
 
     xx, yy, zz, xy, yz, zx = _quad_accumulate(
-        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6
+        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6, order=order
     )
     return tuple(
         G_GRAV * t for t in (xx, yy, zz, xy, yz, zx)
     )
 
 
-def magnetic_tensor_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
+def magnetic_tensor_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     """Far-field magnetic tensor rows by quadrature of the dipole kernel
     (3 r_i r_j - r^2 d_ij)/r^5 (Sharma 1966's closed form is exactly its
     prism integral); returns the same ((txx,txy,txz),(tyx,tyy,tyz),
@@ -606,7 +631,7 @@ def magnetic_tensor_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2):
         )
 
     xx, yy, zz, xy, yz, zx = _quad_accumulate(
-        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6
+        xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 6, order=order
     )
     return (xx, xy, zx), (xy, yy, yz), (zx, yz, zz)
 
