@@ -120,6 +120,16 @@ def main():
     )
     out["wall_s"] = round(time.time() - t0, 1)
     out["final_cost"] = float(res.cost_data[0])
+    # Truth correlation of the recovered model — the honest quality
+    # metric here: with the blended (true-physics) operator the data
+    # misfit converges SLOWER than with the raw-f32 operator, because the
+    # raw operator's depth-weighted far field is mostly rounding noise
+    # that acts as an accidental regularizer and its low misfit measures
+    # fit to that noise (round-5 analysis, BASELINE.md: the blended
+    # 131k-cell model matches the f64-physics model to 1e-5 while the
+    # raw-f32 model deviates by 6.7e-2).
+    m_rec = np.asarray(res.models[0].val).ravel()
+    out["truth_corr"] = round(float(np.corrcoef(m_rec, val)[0, 1]), 6)
     out["cost_history"] = [
         round(float(h["cost_data"][0]), 8) for h in res.costs_history
     ]

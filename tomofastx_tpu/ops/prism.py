@@ -561,7 +561,8 @@ def gravi_z_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
 
     def f(x, y, z):
         r2 = x * x + y * y + z * z
-        inv_r3 = jax.lax.rsqrt(r2) / r2
+        ir = jax.lax.rsqrt(r2)
+        inv_r3 = ir * ir * ir  # no div: VPU divide is ~10x a multiply
         return (z * inv_r3,)
 
     (gz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1,
@@ -577,7 +578,8 @@ def gradi_zz_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     def f(x, y, z):
         r2 = x * x + y * y + z * z
         inv_r = jax.lax.rsqrt(r2)
-        inv_r5 = inv_r / (r2 * r2)
+        ir2 = inv_r * inv_r
+        inv_r5 = ir2 * ir2 * inv_r  # no div: VPU divide is ~10x a multiply
         return ((3.0 * z * z - r2) * inv_r5,)
 
     (gzz,) = _quad_accumulate(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, f, 1,
@@ -593,7 +595,8 @@ def gradi_full_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     def f(x, y, z):
         r2 = x * x + y * y + z * z
         inv_r = jax.lax.rsqrt(r2)
-        inv_r5 = inv_r / (r2 * r2)
+        ir2 = inv_r * inv_r
+        inv_r5 = ir2 * ir2 * inv_r  # no div: VPU divide is ~10x a multiply
         return (
             (3.0 * x * x - r2) * inv_r5,
             (3.0 * y * y - r2) * inv_r5,
@@ -620,7 +623,8 @@ def magnetic_tensor_quad(xd, yd, zd, X1, X2, Y1, Y2, Z1, Z2, order=3):
     def f(x, y, z):
         r2 = x * x + y * y + z * z
         inv_r = jax.lax.rsqrt(r2)
-        inv_r5 = inv_r / (r2 * r2)
+        ir2 = inv_r * inv_r
+        inv_r5 = ir2 * ir2 * inv_r  # no div: VPU divide is ~10x a multiply
         return (
             (3.0 * x * x - r2) * inv_r5,
             (3.0 * y * y - r2) * inv_r5,
