@@ -68,7 +68,13 @@ RATIO_BOUND = 3.0
 # 7.6e-07 / 9.4e-07 / 1.5e-06 on the three floor-limited parfiles whose
 # CPU-f64 finals are 1e-8..1e-10 class. CPU floors below this are
 # unreachable at f32 solve precision regardless of the kernel build.
-F32_SOLVE_FLOOR = 2.5e-6
+# Round 5 (MANSF_FLOOR.json) pinned the precision ladder on hardware:
+# f32 host-driven 1.149e-07, f32 fused 9.44e-07, emulated-f64 solve
+# 9.340e-11 = the CPU-f64 floor EXACTLY (43 s vs 18 s wall) — so an f32
+# regression past ~1.5e-06 is a bug, not precision, and the flat floor
+# is tightened 2.5e-06 -> 2.0e-06 (1.33x headroom over the worst
+# measured floor-limited parfile, Noddy_grav_fault 1.497e-06).
+F32_SOLVE_FLOOR = 2.0e-6
 
 
 def check_quality(rel, cost_grav, cost_magn):

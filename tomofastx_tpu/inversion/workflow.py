@@ -599,6 +599,15 @@ def solve_problem_joint_gravmag(
                     ipar.problem_weight[i], ctx.data.weight, fwd_dtype,
                     pad_cells_to=(mesh.devices.size if mesh is not None else 1),
                     in_fused_program=bool(fused_chunk),
+                    # An f64 BTTB operator needs complex128 FFTs, which
+                    # the TPU rejects ("Element type C128 is not
+                    # supported", observed live on the Mansfield floor
+                    # run 2026-08-21) — fall back to the lattice/per-cell
+                    # exact operator for f64 refinement off-CPU.
+                    force_no_fft=(
+                        fwd_dtype == jnp.float64
+                        and jax.default_backend() != "cpu"
+                    ),
                 )
 
 
