@@ -997,3 +997,52 @@ def test_generic_patch_matvec_accuracy(tmp_path):
     got = np.asarray(f32.matvec(jnp.asarray(x, jnp.float32)), np.float64)
     err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert err < 5e-5, f"patched generic f32 operator deviates {err:.2e}"
+
+
+def test_generic_blend_gated_off_at_huge_n():
+    """Round 5: the GENERIC operator's candidate-correction blend crashes
+    the TPU worker in composed solves above ~2M cells (4M reproduced 3x,
+    incl. with sequential per-point einsums — scripts/probe_generic_4m.py)
+    so the factory gates it off there with a loud warning; the lattice
+    operator (slice-windowed correction) has no such gate."""
+    import warnings
+
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops.matrixfree import MatrixFreeKernel, make_matrixfree_kernel
+
+    def build(nx, ny, nz):
+        n = nx * ny * nz
+        h = 100.0
+        i = np.tile(np.arange(nx), ny * nz)
+        j = np.tile(np.repeat(np.arange(ny), nx), nz)
+        k = np.repeat(np.arange(nz), nx * ny)
+        # z-dependent shear on the x edges breaks the tensor-product
+        # lattice -> the generic per-cell operator is selected.
+        grid = Grid(nx=nx, ny=ny, nz=nz,
+                    X1=i * h + 3.0 * k, X2=(i + 1) * h + 3.0 * k,
+                    Y1=j * h, Y2=(j + 1) * h, Z1=k * h, Z2=(k + 1) * h)
+        nd = 4
+        data = SurveyData(ndata=nd, ncomponents=1)
+        data.X = (np.arange(nd) + 0.5) * h
+        data.Y = np.full(nd, 1.5 * h)
+        data.Z = np.full(nd, -1.0)
+        par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd,
+                         depth_weighting_type=1, Z0=0.1,
+                         depth_weighting_power=2.0)
+        cw = np.ones(n)
+        return make_matrixfree_kernel(par, grid, data, cw, 1.0, data.weight,
+                                      jnp.float32, force_no_fft=True,
+                                      validate=False)
+
+    small = build(16, 16, 8)
+    assert isinstance(small, MatrixFreeKernel)
+    assert small.phys.far_quad and small.near_idx is not None
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        big = build(160, 160, 100)  # 2.56M cells
+    assert isinstance(big, MatrixFreeKernel)
+    assert not big.phys.far_quad and big.near_idx is None
+    assert any("crashes the TPU worker" in str(x.message) for x in w)

@@ -23,12 +23,19 @@ the baked-in problem*data row weights are applied on the fly
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The GENERIC per-cell operator's far-quad candidate correction crashes
+# the TPU worker in composed solver programs above this size (4M
+# reproduced; see the gate in make_matrixfree_kernel). The lattice
+# operator has NO such bound (its windowed correction is slice-based).
+GENERIC_BLEND_MAX_CELLS = 2_000_000
 
 
 @dataclass(frozen=True)
@@ -99,7 +106,7 @@ def _corr_rows_for_point(phys: _Physics, grid6, x, y, z, idx):
                      jnp.zeros_like(closed))
 
 
-def near_cell_indices(grid6, xd, yd, zd, chunk=512, margin=1.001):
+def near_cell_indices(grid6, xd, yd, zd, chunk=None, margin=1.001):
     """(npoints, K) int32 candidate-near cell indices for the generic
     blended operator, computed ONCE at construction on device.
 
@@ -114,6 +121,12 @@ def near_cell_indices(grid6, xd, yd, zd, chunk=512, margin=1.001):
 
     N = grid6[0].shape[0]
     npts = xd.shape[0]
+    if chunk is None:
+        # The vmapped score/top_k pass materializes chunk x N f32 (plus
+        # top_k working set): cap it at ~0.5 GB — a fixed chunk=512 at 4M
+        # cells requested 15.78 GB of HBM and OOMed the 16 GB chip
+        # (observed live, round 5).
+        chunk = max(8, min(512, (1 << 29) // (4 * max(N, 1))))
     rad = prism.FAR_QUAD_RADIUS * margin
 
     def pad_pts(a):
@@ -240,13 +253,18 @@ class MatrixFreeKernel:
             rows = self._chunk_rows(xs, ys, zs)
             d = jnp.einsum("bnkd,kn->bd", rows, xw)
             if self._patched:
-                def corr_one(x_, y_, z_, ii):
+                # Sequential per-point correction (see rmatvec: the
+                # batched vmap form with its (B, K) gather participates
+                # in the composed-program worker crash at 4M cells).
+                def corr_body(_, p):
+                    x_, y_, z_, ii = p
                     corr = _corr_rows_for_point(
                         self.phys, self.grid6, x_, y_, z_, ii
                     )
-                    return jnp.einsum("nkd,kn->d", corr, xw[:, ii])
+                    return None, jnp.einsum("nkd,kn->d", corr, xw[:, ii])
 
-                d = d + jax.vmap(corr_one)(xs, ys, zs, idx)
+                _, dc = jax.lax.scan(corr_body, None, (xs, ys, zs, idx))
+                d = d + dc
             return w * d
 
         parts = jax.lax.map(
@@ -272,16 +290,22 @@ class MatrixFreeKernel:
             rows = self._chunk_rows(xs, ys, zs)
             g = g + jnp.einsum("bnkd,bd->kn", rows, uc)
             if self._patched:
-                def corr_one(x_, y_, z_, ii, ud):
+                # SEQUENTIAL per-point candidate updates: the BATCHED
+                # form (vmap the einsum, then one g.at[:, (B,K)idx].add)
+                # crashed the TPU worker at 4M cells inside composed
+                # solver programs (observed live, round 5) — the same
+                # batched-full-array-scatter trigger as the lattice
+                # operator's round-4 crash (CLAUDE.md). One K-index
+                # scatter per scan step runs clean.
+                def corr_body(gc, p):
+                    x_, y_, z_, ii, ud = p
                     corr = _corr_rows_for_point(
                         self.phys, self.grid6, x_, y_, z_, ii
                     )
-                    return jnp.einsum("nkd,d->kn", corr, ud)  # (nmc, K)
+                    vals = jnp.einsum("nkd,d->kn", corr, ud)  # (nmc, K)
+                    return gc.at[:, ii].add(vals), None
 
-                vals = jax.vmap(corr_one)(xs, ys, zs, idx, uc)  # (B, nmc, K)
-                # Small scatter-add (B*K indices; duplicate indices
-                # accumulate) — not a full-array scatter.
-                g = g.at[:, idx].add(vals.transpose(1, 0, 2))
+                g, _ = jax.lax.scan(corr_body, g, (xs, ys, zs, idx, uc))
             return g, None
 
         g0 = jnp.zeros((self.phys.nmc, self.N), u.dtype)
@@ -957,6 +981,31 @@ def make_matrixfree_kernel(
                         "matvec; reference aborts here, gravity_field.f90:99-107)"
                     )
             return op
+
+    # GENERIC-operator blend gate: the K-candidate correction crashes the
+    # TPU worker above ~2M cells inside COMPOSED solver programs (4M
+    # reproduced 3x live in round 5 — with the batched (B,K) gather +
+    # scatter form AND with both einsums made sequential per-point;
+    # standalone blended programs and the blend-off composed solve run
+    # clean, the same composed-only signature as the lattice operator's
+    # round-4 crash whose fix — windowed dynamic_slice corrections — has
+    # no arbitrary-index gather/scatter and does NOT transfer to
+    # irregular grids). scripts/probe_generic_4m.py is the reproducer.
+    if phys.far_quad and N > GENERIC_BLEND_MAX_CELLS:
+        import warnings
+
+        warnings.warn(
+            f"far-field quadrature blend DISABLED for the generic "
+            f"matrix-free operator at {N} cells (> "
+            f"{GENERIC_BLEND_MAX_CELLS}): its candidate-correction "
+            f"program crashes the TPU worker in composed solves "
+            f"(round-5 reproducer: scripts/probe_generic_4m.py). The "
+            f"operator's f32 far field carries cancellation noise at "
+            f"this scale — prefer a tensor-product (lattice) grid, "
+            f"which blends at any size, or a stored-kernel build.",
+            stacklevel=2,
+        )
+        phys = dataclasses.replace(phys, far_quad=False)
 
     # Cell-axis padding: dummy unit prisms far outside the model volume
     # (finite closed forms for every real observation point) with cw = 0.
