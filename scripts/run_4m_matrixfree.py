@@ -41,9 +41,17 @@ def main():
 
     small = os.environ.get("MC_SMALL", "0") == "1"
     big = os.environ.get("MC_8M", "0") == "1"
+    huge = os.environ.get("MC_16M", "0") == "1"
     if small:
         nx, ny, nz, nside = 40, 40, 20, 20
         majors, minors = 2, 10
+    elif huge:
+        # 16,384,000 cells (286x the reference's largest shipped fixture;
+        # the dense kernel would be 124 GB f32) — round-5 top rung of the
+        # BLENDED (true-physics f32) matrix-free ladder, enabled by the
+        # tiered quadrature's 3.4x flop cut.
+        nx, ny, nz, nside = 320, 320, 160, 45
+        majors, minors = 3, 12
     elif big:
         # 8,192,000 cells: the dense kernel would be 60 GB f32 / 30 GB
         # bf16 — pure matrix-free territory (143x the reference's largest
@@ -139,7 +147,10 @@ def main():
     out["memory_report"] = memory_report("")
 
     path = os.path.join(
-        REPO, "CAPACITY_8M_MATRIXFREE.json" if big else "CAPACITY_4M_MATRIXFREE.json"
+        REPO,
+        "CAPACITY_16M_MATRIXFREE.json" if huge
+        else "CAPACITY_8M_MATRIXFREE.json" if big
+        else "CAPACITY_4M_MATRIXFREE.json"
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
