@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PARFILE = os.path.join(REF, "parfiles/Parfile_mansf_slice.txt")
 
 
-def run_one(tag, solve_dtype, refine):
+def run_one(tag, solve_dtype, refine, compress=True):
     import tempfile
 
     import jax.numpy as jnp
@@ -45,6 +45,12 @@ def run_one(tag, solve_dtype, refine):
     cfg = read_parfile(PARFILE)
     tmp = tempfile.mkdtemp()
     cfg.path_output = tmp + "/"
+    if not compress:
+        # Compression error (~1e-5 class rows) dominates the refined
+        # floor on the shipped config; the uncompressed A/B isolates the
+        # refinement's own fixed point.
+        cfg.grav.compression_type = cfg.magn.compression_type = 0
+        cfg.inversion.compression_type = 0
     if refine:
         cfg.grav.refine_forward = cfg.magn.refine_forward = 1
         cfg.grav.refine_forward_precision = "double"
@@ -82,6 +88,11 @@ def main():
             run_one("f32", "float32", refine=False),
             run_one("refined", "float32", refine=True),
             run_one("f64", "float64", refine=False),
+            # Uncompressed A/B: true mixed-precision iterative refinement
+            # (f32 LSQR inner + emulated-f64 exact residuals per major)
+            # without the compression-error floor in the way.
+            run_one("f32_nocomp", "float32", refine=False, compress=False),
+            run_one("refined_nocomp", "float32", refine=True, compress=False),
         ],
     }
     with open(os.path.join(REPO, "MANSF_FLOOR.json"), "w") as f:
