@@ -42,9 +42,15 @@ def main():
     small = os.environ.get("MC_SMALL", "0") == "1"
     big = os.environ.get("MC_8M", "0") == "1"
     huge = os.environ.get("MC_16M", "0") == "1"
+    huge32 = os.environ.get("MC_32M", "0") == "1"
     if small:
         nx, ny, nz, nside = 40, 40, 20, 20
         majors, minors = 2, 10
+    elif huge32:
+        # 32,000,000 cells (the dense kernel would be 241 GB f32): one
+        # chip, zero storage, true-physics blended rows.
+        nx, ny, nz, nside = 400, 400, 200, 45
+        majors, minors = 3, 10
     elif huge:
         # 16,384,000 cells (286x the reference's largest shipped fixture;
         # the dense kernel would be 124 GB f32) — round-5 top rung of the
@@ -148,7 +154,8 @@ def main():
 
     path = os.path.join(
         REPO,
-        "CAPACITY_16M_MATRIXFREE.json" if huge
+        "CAPACITY_32M_MATRIXFREE.json" if huge32
+        else "CAPACITY_16M_MATRIXFREE.json" if huge
         else "CAPACITY_8M_MATRIXFREE.json" if big
         else "CAPACITY_4M_MATRIXFREE.json"
     )

@@ -1046,3 +1046,65 @@ def test_generic_blend_gated_off_at_huge_n():
     assert isinstance(big, MatrixFreeKernel)
     assert not big.phys.far_quad and big.near_idx is None
     assert any("crashes the TPU worker" in str(x.message) for x in w)
+
+
+def test_tiered_blend_row_accuracy_vs_f64_outside_window():
+    """The tiered operator's full row (8-pt base + windowed correction)
+    must track the f64 closed forms even on cells far OUTSIDE the tier-2
+    window, where the cheap 2^3 rule is the final value (the
+    quad-patch-equals-select test's small grid is fully window-covered,
+    so the outside-window tier is only exercised here). Also pins that
+    the raw-f32 closed rows are WORSE than the blend on the same
+    geometry — the premise of the whole compensated-f32 design."""
+    from tomofastx_tpu.config.parfile import GravParams
+    from tomofastx_tpu.models.data import SurveyData
+    from tomofastx_tpu.models.grid import Grid
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        _lattice_closed_rows,
+        make_matrixfree_kernel,
+    )
+
+    nx, ny, nz = 96, 6, 4
+    hx, hy, hz = 100.0, 130.0, 80.0
+    n = nx * ny * nz
+    i = np.tile(np.arange(nx), ny * nz)
+    j = np.tile(np.repeat(np.arange(ny), nx), nz)
+    k = np.repeat(np.arange(nz), nx * ny)
+    grid = Grid(nx=nx, ny=ny, nz=nz, X1=i * hx, X2=(i + 1) * hx,
+                Y1=j * hy, Y2=(j + 1) * hy, Z1=k * hz, Z2=(k + 1) * hz)
+    nd = 3
+    data = SurveyData(ndata=nd, ncomponents=1)
+    # Obs clustered at the low-x end: the high-x half of the grid is far
+    # outside the tier-2 window (window wx ~ 23 cells at this spacing).
+    data.X = np.array([150.0, 250.0, 420.0])
+    data.Y = np.full(nd, 2.5 * hy)
+    data.Z = np.full(nd, -1.0)
+    par = GravParams(nx=nx, ny=ny, nz=nz, ndata=nd, depth_weighting_type=1,
+                     Z0=0.1, depth_weighting_power=2.0)
+    op = make_matrixfree_kernel(par, grid, data, np.ones(n), 1.0,
+                                np.ones((nd, 1)), jnp.float32,
+                                force_no_fft=True, validate=False)
+    assert isinstance(op, LatticeMatrixFreeKernel) and op.far_quad
+    assert op.win[2] < nx // 2  # the far half is genuinely outside
+
+    xe64 = jnp.asarray(np.arange(nx + 1) * hx)
+    ye64 = jnp.asarray(np.arange(ny + 1) * hy)
+    ze64 = jnp.asarray(np.arange(nz + 1) * hz)
+    for p in range(nd):
+        row = np.asarray(
+            op.rmatvec(jnp.zeros(nd, jnp.float32).at[p].set(1.0)), np.float64)
+        ref = np.asarray(_lattice_closed_rows(
+            xe64, ye64, ze64, jnp.float64(data.X[p]), jnp.float64(data.Y[p]),
+            jnp.float64(data.Z[p]), "grav", 1, (0.0, 0.0, 1.0), 0.0, 1, 1,
+        ), np.float64).reshape(-1)
+        closed32 = np.asarray(_lattice_closed_rows(
+            op.xe, op.ye, op.ze, jnp.float32(data.X[p]),
+            jnp.float32(data.Y[p]), jnp.float32(data.Z[p]),
+            "grav", 1, (0.0, 0.0, 1.0), 0.0, 1, 1,
+        ), np.float64).reshape(-1)
+        nrm = np.linalg.norm(ref)
+        rel_blend = np.linalg.norm(row - ref) / nrm
+        rel_raw = np.linalg.norm(closed32 - ref) / nrm
+        assert rel_blend < 2e-5, rel_blend
+        assert rel_blend < 0.2 * rel_raw, (rel_blend, rel_raw)
