@@ -889,8 +889,10 @@ def make_matrixfree_kernel(
         # chunk (like the unblended operator), so no blended-chunk
         # halving: the round-4 evaluate-both blend that needed it (two
         # full-grid row arrays; TPU worker crash at 4M cells, CLAUDE.md)
-        # is gone.
-        chunk = max(8, min(256, (1 << 26) // max(N * phys.nmc * phys.ndc, 1)))
+        # is gone. Cap 128: the bench-shape chunk sweep (round 5, v5e)
+        # measured 32:318 / 64:316 / 128:268 / 256:275 / 512:283 /
+        # 1024:287 ms per LSQR iteration.
+        chunk = max(8, min(128, (1 << 26) // max(N * phys.nmc * phys.ndc, 1)))
     nd_pad = ((nd + chunk - 1) // chunk) * chunk
 
     # Padding rows must evaluate to finite numbers (a corner-touching
