@@ -35,5 +35,11 @@ def enable(cache_dir: str | None = None) -> str:
     if cache_dir is None:
         cache_dir = _default_dir()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.2 s (not the 1.0 s default): the Mansfield cold wall pays ~19
+    # sub-1s glue compiles (~0.3-0.7 s each over the tunnel's remote
+    # compile helper) that the default threshold refuses to persist —
+    # measured round 5: they are ~6-7 s of the ~11 s cold wall. The
+    # entries are KB-class; the commit_compile_cache.sh size guard
+    # prunes oldest on overflow.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
     return cache_dir
