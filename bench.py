@@ -45,14 +45,16 @@ HEALTHY_DISPATCH_S = 0.03
 # any of them flips a flag instead of shipping as a silently different
 # number). Budgets are healthy-tunnel numbers from measured rounds
 # (BENCH_r04.json; lattice re-baselined after the round-5 quad+patch
-# restructure): "throughput" sections must stay >= budget*(1-tol),
+# restructure; lattice re-measured at 267-274 ms with the shipped
+# chunk=128 + div-free integrands — budget 270 keeps ~16% headroom
+# before a false 'regressed'): "throughput" sections must stay >= budget*(1-tol),
 # "time" sections <= budget*(1+tol); the tunnel latency factor widens the
 # effective bound (a sick tunnel inflates walls with zero product
 # regression — same logic as the cold-wall adjudication below).
 SECTION_BUDGETS = {
     "gemv_gflops":        {"budget": 360.0, "tol": 0.08, "kind": "throughput"},
     "bf16_gflops":        {"budget": 500.0, "tol": 0.10, "kind": "throughput"},
-    "lattice_ms_per_iter": {"budget": 250.0, "tol": 0.15, "kind": "time"},
+    "lattice_ms_per_iter": {"budget": 270.0, "tol": 0.15, "kind": "time"},
     "bttb_ms_per_iter":   {"budget": 0.30,  "tol": 0.30, "kind": "time"},
 }
 

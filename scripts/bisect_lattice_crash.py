@@ -24,6 +24,11 @@ import os
 import sys
 import time
 
+# Stage G (generic blended op) must reach the crashing configuration
+# despite the factory's >2M generic-blend gate (added after this
+# script first reproduced the crash).
+import os as _os
+_os.environ.setdefault("TOMOFASTX_GENERIC_BLEND_MAX_CELLS", "999999999")
 import jax
 
 from tomofastx_tpu.utils.compile_cache import enable as _enable_cache

@@ -10,6 +10,11 @@ LSQR through the full workflow (damping + costs + outputs = a composed
 solver program).
 
     python scripts/probe_generic_4m.py   # -> GENERIC_4M_PROBE.json
+
+NOTE: on TPU the factory now gates the generic blend off above 2M cells
+(the crash this script reproduced 3x), so the default run records the
+GATED (blend-off) 4M solve. To reproduce the crash itself:
+    TOMOFASTX_GENERIC_BLEND_MAX_CELLS=999999999 python scripts/probe_generic_4m.py
 """
 
 import json

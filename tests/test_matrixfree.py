@@ -999,7 +999,7 @@ def test_generic_patch_matvec_accuracy(tmp_path):
     assert err < 5e-5, f"patched generic f32 operator deviates {err:.2e}"
 
 
-def test_generic_blend_gated_off_at_huge_n():
+def test_generic_blend_gated_off_at_huge_n(monkeypatch):
     """Round 5: the GENERIC operator's candidate-correction blend crashes
     the TPU worker in composed solves above ~2M cells (4M reproduced 3x,
     incl. with sequential per-point einsums — scripts/probe_generic_4m.py)
@@ -1040,12 +1040,26 @@ def test_generic_blend_gated_off_at_huge_n():
     assert isinstance(small, MatrixFreeKernel)
     assert small.phys.far_quad and small.near_idx is not None
 
+    # The gate guards a TPU-runtime defect: it must NOT fire on the CPU
+    # backend (tests run on CPU, so >2M keeps the blend here)...
+    big_cpu = build(160, 160, 100)  # 2.56M cells
+    assert big_cpu.phys.far_quad
+
+    # ...and must fire (with the loud warning) off-CPU, unless the env
+    # override used by the reproducer scripts raises the bound.
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        big = build(160, 160, 100)  # 2.56M cells
+        big = build(160, 160, 100)
     assert isinstance(big, MatrixFreeKernel)
     assert not big.phys.far_quad and big.near_idx is None
     assert any("crashes the TPU worker" in str(x.message) for x in w)
+
+    monkeypatch.setenv("TOMOFASTX_GENERIC_BLEND_MAX_CELLS", "999999999")
+    forced = build(160, 160, 100)
+    assert forced.phys.far_quad and forced.near_idx is not None
 
 
 def test_tiered_blend_row_accuracy_vs_f64_outside_window():

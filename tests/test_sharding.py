@@ -561,3 +561,56 @@ def test_refine_forward_joint_fused_matches_host(tmp_path):
         b = np.asarray(res_h.models[p].val, np.float64).ravel()
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
         assert rel < 1e-4, f"problem {p}: fused vs host L2 rel diff {rel:.2e}"
+
+
+def test_lattice_sharded_blend_window_parity(tmp_path):
+    """The f32 BLENDED lattice operator sharded over the mesh must keep
+    the factory's TIER-2 window geometry — shard_kernel re-derives the
+    window for the re-padded observation set, and a round-5 review
+    finding caught it using the default near radius 4.0 (window (8,7,7)
+    instead of (8,20,20)-class), silently collapsing the 27-pt/closed
+    mid tier on meshed runs. Pins: identical window sizes, and
+    matvec/rmatvec parity vs the unsharded blended operator."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.util_fixtures import make_base_config
+    from tomofastx_tpu.config.parfile import GRAV
+    from tomofastx_tpu.io import data_io, model_io
+    from tomofastx_tpu.ops import sensitivity as sens
+    from tomofastx_tpu.ops.matrixfree import (
+        LatticeMatrixFreeKernel,
+        make_matrixfree_kernel,
+    )
+    from tomofastx_tpu.parallel.mesh import shard_kernel
+
+    cfg, grid_path, data_path = make_base_config(str(tmp_path), 6, 5, 4, ndata=13)
+    par = cfg.problem_params(GRAV)
+    grid = model_io.read_model_grid(grid_path, 6, 5, 4)
+    data = data_io.read_data_points(data_path, 13, par.ndata_components,
+                                    grid_only=True)
+    cw = sens.calculate_depth_weight(par, grid, data)
+    dw = np.ones((par.ndata, par.ndata_components))
+
+    op = make_matrixfree_kernel(par, grid, data, cw, 1.0, dw, jnp.float32)
+    assert isinstance(op, LatticeMatrixFreeKernel) and op.far_quad
+    mesh = make_mesh(8)
+    op_sh = shard_kernel(op, mesh)
+    assert op_sh.far_quad
+    assert op_sh.win == op.win  # the tier-2 radius, not the near radius
+    # Window starts for the REAL observations must match too.
+    np.testing.assert_array_equal(
+        np.asarray(op_sh.wi0)[: op.nrows], np.asarray(op.wi0)[: op.nrows])
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(op.ncols,)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(par.ndata,)), jnp.float32)
+    y_ref = np.asarray(op.matvec(x), np.float64)
+    g_ref = np.asarray(op.rmatvec(u), np.float64)
+    with mesh:
+        y_sh = np.asarray(jax.jit(lambda k, v: k.matvec(v))(op_sh, x), np.float64)
+        g_sh = np.asarray(jax.jit(lambda k, v: k.rmatvec(v))(op_sh, u), np.float64)
+    np.testing.assert_allclose(y_sh, y_ref, rtol=2e-6,
+                               atol=1e-6 * np.abs(y_ref).max())
+    np.testing.assert_allclose(g_sh, g_ref, rtol=2e-6,
+                               atol=1e-6 * np.abs(g_ref).max())

@@ -593,6 +593,16 @@ def solve_problem_joint_gravmag(
                     if getattr(ctx.par, "refine_forward_precision", "") == "double"
                     else solve_dtype
                 )
+                if fwd_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+                    # Without x64, jnp silently canonicalizes every f64
+                    # array to f32 (refinement would be a no-op that
+                    # still pays the force_no_fft penalty below) — warn
+                    # and keep the solve dtype instead.
+                    log("WARNING: tpu.refineForwardPrecision = double "
+                        "requires jax_enable_x64 (the CLI sets it; "
+                        "library callers must too) — falling back to "
+                        "solve-precision refinement residuals.")
+                    fwd_dtype = solve_dtype
                 ctx.forward_op = make_matrixfree_kernel(
                     _dc.replace(ctx.par, compression_type=0),
                     ctx.model.grid, ctx.data, ctx.column_weight,

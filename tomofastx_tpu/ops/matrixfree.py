@@ -24,6 +24,7 @@ the baked-in problem*data row weights are applied on the fly
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -488,6 +489,21 @@ def _lattice_quad_rows(
     return quad.reshape(shp + quad.shape[1:])
 
 
+def tier2_radius(problem: str, data_type: int) -> float:
+    """Tier-2 window radius (in half-diagonals) for the tiered blend —
+    shared by the factory AND parallel/mesh.py::shard_kernel so meshed
+    and unmeshed operators use the SAME window geometry (a shard-time
+    re-derivation with the near radius 4.0 would silently collapse the
+    27-pt/closed mid tier on meshed runs; round-5 review finding)."""
+    from tomofastx_tpu.ops import prism
+
+    return (
+        prism.FAR_QUAD2_RADIUS_GZ
+        if (problem == "grav" and data_type == 1)
+        else prism.FAR_QUAD2_RADIUS_TENSOR
+    )
+
+
 def lattice_near_window(xe, ye, ze, xd, yd, zd, radius=None):
     """Host-side geometry for the blended lattice operator's near patch.
 
@@ -597,12 +613,14 @@ class LatticeMatrixFreeKernel:
     nmc: int = 1
     ndc: int = 1
     data_type: int = 1  # gravity: 1 = g_z, 2 = gradiometry (FTG)
-    # Compensated-f32 blend: quadrature everywhere + near-window closed
-    # patch (see lattice_rows_for_point; set for f32 operators by the
-    # factory, which also supplies win/wi0 from lattice_near_window).
+    # Compensated-f32 TIERED blend: 8-pt quadrature everywhere + one
+    # windowed where(near, closed, 27-pt) - 8-pt correction (see
+    # _corr_window; set for f32 operators by the factory, which also
+    # supplies win/wi0 from lattice_near_window at the tier-2 radius).
     far_quad: bool = False
-    # Static (wz, wy, wx) near-patch window sizes (aux; None when
-    # far_quad is off).
+    # Static (wz, wy, wx) TIER-2 window sizes (aux; None when far_quad
+    # is off) — sized so every cell outside is at least
+    # prism.FAR_QUAD2_RADIUS_* half-diagonals away in some axis.
     win: "Tuple[int, int, int] | None" = None
     # (nrows_padded, 3) int32 per-observation window start indices
     # (child; None when far_quad is off).
@@ -947,11 +965,7 @@ def make_matrixfree_kernel(
                 # accurate), not just the closed-form near radius. The
                 # 1/r^5 tensor kernels need the larger one (calibration
                 # table at prism.FAR_QUAD2_RADIUS_*).
-                r2q = (
-                    prism.FAR_QUAD2_RADIUS_GZ
-                    if (phys.problem == "grav" and phys.data_type == 1)
-                    else prism.FAR_QUAD2_RADIUS_TENSOR
-                )
+                r2q = tier2_radius(phys.problem, phys.data_type)
                 win, wi0 = lattice_near_window(
                     xe, ye, ze, np.asarray(xd_p), np.asarray(yd_p),
                     np.asarray(zd_p), radius=r2q,
@@ -993,15 +1007,23 @@ def make_matrixfree_kernel(
     # round-4 crash whose fix — windowed dynamic_slice corrections — has
     # no arbitrary-index gather/scatter and does NOT transfer to
     # irregular grids). scripts/probe_generic_4m.py is the reproducer.
-    if phys.far_quad and N > GENERIC_BLEND_MAX_CELLS:
+    gate_max = int(os.environ.get(
+        "TOMOFASTX_GENERIC_BLEND_MAX_CELLS", GENERIC_BLEND_MAX_CELLS))
+    if (phys.far_quad and N > gate_max
+            and jax.default_backend() != "cpu"):
+        # CPU backends are exempt: the gate guards a TPU-runtime defect,
+        # and gating there would silently degrade CPU runs' far field
+        # (round-5 review finding). The env override exists so the
+        # reproducer scripts can still reach the crashing configuration.
         import warnings
 
         warnings.warn(
             f"far-field quadrature blend DISABLED for the generic "
-            f"matrix-free operator at {N} cells (> "
-            f"{GENERIC_BLEND_MAX_CELLS}): its candidate-correction "
-            f"program crashes the TPU worker in composed solves "
-            f"(round-5 reproducer: scripts/probe_generic_4m.py). The "
+            f"matrix-free operator at {N} cells (> {gate_max}): its "
+            f"candidate-correction program crashes the TPU worker in "
+            f"composed solves (round-5 reproducer: "
+            f"scripts/probe_generic_4m.py with "
+            f"TOMOFASTX_GENERIC_BLEND_MAX_CELLS=999999999). The "
             f"operator's f32 far field carries cancellation noise at "
             f"this scale — prefer a tensor-product (lattice) grid, "
             f"which blends at any size, or a stored-kernel build.",

@@ -241,13 +241,23 @@ def shard_kernel(k, mesh: Mesh):
                             repad(k.zd, far[2]))
         win = wi0 = None
         if k.far_quad:
-            # Re-derive the near-patch window starts for the re-padded
+            # Re-derive the tier-2 window starts for the re-padded
             # observation set (pure host geometry; the window sizes are a
             # property of the lattice alone but recomputing keeps them
-            # consistent with the starts).
-            from tomofastx_tpu.ops.matrixfree import lattice_near_window
+            # consistent with the starts). MUST use the same tier-2
+            # radius as the factory: the default (near) radius 4.0 here
+            # silently collapsed the 27-pt/closed mid tier on meshed
+            # runs (round-5 review finding; pinned by
+            # test_sharding's meshed f32 blend parity test).
+            from tomofastx_tpu.ops.matrixfree import (
+                lattice_near_window,
+                tier2_radius,
+            )
 
-            win, wi0 = lattice_near_window(k.xe, k.ye, k.ze, xd_p, yd_p, zd_p)
+            win, wi0 = lattice_near_window(
+                k.xe, k.ye, k.ze, xd_p, yd_p, zd_p,
+                radius=tier2_radius(k.problem, k.data_type),
+            )
             wi0 = jnp.asarray(wi0)
 
         rep = NamedSharding(mesh, P())
